@@ -1,0 +1,19 @@
+"""mimikit_tpu — a TPU-native audio modeling toolkit.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of ktonal/mimikit
+(v0.4.3): feature extraction pipelines, auto-regressive audio networks
+(SampleRNN, WaveNet, seq2seq LSTM, transformers), training/generation loops,
+checkpointing, clustering/segmentation tools — engineered for TPU hardware
+(jit + lax.scan decode paths, device meshes for scaling, Pallas kernels for
+the hot ops).
+
+The whole public API is flattened into this namespace, mirroring the
+reference (``/root/reference/mimikit/__init__.py:16-28``).
+"""
+
+__version__ = "0.1.0"
+
+from .config import *
+from .utils import *
+from .features import *
+from .data import *

@@ -1,0 +1,1258 @@
+"""Signal-processing functionals: configurable, invertible, dual-backend.
+
+Rebuild of ``/root/reference/mimikit/features/functionals.py`` (1203 LoC).
+Each ``Functional`` is a ``Config`` dataclass with a numpy path (``np_func``,
+used at extraction time on the host and as the numeric oracle in tests) and a
+JAX path (``jax_func``, jit-friendly, used on TPU), an ``inv`` property
+returning the inverse functional, and ``unit`` / ``elem_type`` metadata.
+
+The reference dispatches numpy vs torch on input type
+(``functionals.py:101-106``); here the split is numpy vs ``jax.Array``.
+librosa/torchaudio internals are replaced by the from-scratch DSP core in
+``dsp.py``.
+"""
+from __future__ import annotations
+
+import abc
+import dataclasses as dtc
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from ..config import Config
+from .item_spec import Frame, Sample, Unit, convert
+from . import dsp
+from .audio_io import load_audio
+
+__all__ = [
+    "Continuous",
+    "Discrete",
+    "Functional",
+    "Identity",
+    "get_metadata",
+    "Compose",
+    "FileToSignal",
+    "RemoveDC",
+    "Normalize",
+    "Emphasis",
+    "Deemphasis",
+    "Resample",
+    "MuLawCompress",
+    "MuLawExpand",
+    "ALawCompress",
+    "ALawExpand",
+    "STFT",
+    "ISTFT",
+    "MagSpec",
+    "GLA",
+    "MelSpec",
+    "MFCC",
+    "Chroma",
+    "HarmonicSource",
+    "PercussiveSource",
+    "Envelop",
+    "EnvelopBank",
+    "Interpolate",
+    "derivative_np",
+    "derivative_jax",
+    "Derivative",
+    "AutoConvolve",
+    "F0Filter",
+    "NearestNeighborFilter",
+    "PCA",
+    "NMF",
+    "FactorAnalysis",
+]
+
+N_FFT = 2048
+HOP_LENGTH = 512
+SR = 22050
+Q_LEVELS = 256
+
+
+@dtc.dataclass
+class Continuous:
+    min_value: Union[float, int]
+    max_value: Union[float, int]
+    size: int
+
+
+@dtc.dataclass
+class Discrete:
+    size: int
+
+
+EventType = Union[Continuous, Discrete]
+
+
+def _is_jax(x) -> bool:
+    try:
+        import jax
+
+        return isinstance(x, jax.Array)
+    except ImportError:
+        return False
+
+
+def _to_dict(value):
+    return {} if value is None else dict(value)
+
+
+def _add_metadata(x, **metadata):
+    """Piggyback metadata (e.g. sr) on a numpy dtype; no-op for jax arrays."""
+    if isinstance(x, np.ndarray):
+        prev = _to_dict(x.dtype.metadata)
+        prev.update(metadata)
+        dtype = np.dtype(x.dtype, metadata=prev)
+        return x.view(dtype)
+    return x
+
+
+def get_metadata(x, key: str, default=None):
+    if isinstance(x, np.ndarray):
+        return _to_dict(x.dtype.metadata).get(key, default)
+    return getattr(x, key, default)
+
+
+@dtc.dataclass
+class Functional(Config, abc.ABC):
+    @property
+    def unit(self) -> Optional[Unit]:
+        """output's time unit"""
+        return None
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return None
+
+    @abc.abstractmethod
+    def np_func(self, inputs):
+        raise NotImplementedError
+
+    def jax_func(self, inputs):
+        """Device path; defaults to the numpy semantics on host-pulled data."""
+        raise NotImplementedError(
+            f"{type(self).__qualname__} has no JAX path"
+        )
+
+    def __call__(self, inputs):
+        if _is_jax(inputs):
+            return self.jax_func(inputs)
+        return self.np_func(inputs)
+
+    @property
+    @abc.abstractmethod
+    def inv(self) -> "Functional":
+        ...
+
+
+@dtc.dataclass
+class Identity(Functional):
+    def np_func(self, inputs):
+        return inputs
+
+    def jax_func(self, inputs):
+        return inputs
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class FileToSignal(Functional):
+    """Decode an audio file to a float32 mono signal at ``sr``
+    (reference ``functionals.py:150-179``)."""
+
+    sr: int = SR
+    offset: float = 0.0
+    duration: Optional[float] = None
+
+    @property
+    def unit(self) -> Optional[Unit]:
+        return Sample(self.sr)
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(-float("inf"), float("inf"), 1)
+
+    def np_func(self, path):
+        y = load_audio(path, sr=self.sr, offset=self.offset, duration=self.duration)
+        return _add_metadata(y, sr=self.sr)
+
+    def __call__(self, path):
+        return self.np_func(path)
+
+    @property
+    def inv(self):
+        return Identity()
+
+
+@dtc.dataclass
+class Compose(Functional):
+    functionals: Tuple[Functional, ...]
+
+    def __init__(self, *funcs: Functional, functionals=()):
+        self.functionals = tuple(funcs) or tuple(functionals)
+
+    @property
+    def unit(self) -> Optional[Unit]:
+        u = tuple(f.unit for f in self.functionals if f.unit is not None)
+        return u[-1] if any(u) else None
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        ev = tuple(f.elem_type for f in self.functionals if f.elem_type is not None)
+        return ev[-1] if any(ev) else None
+
+    def np_func(self, inputs):
+        raise NotImplementedError
+
+    def __call__(self, inputs):
+        x = inputs
+        for f in self.functionals:
+            x = f(x)
+        return x
+
+    @property
+    def inv(self):
+        return Compose(*(f.inv for f in reversed(self.functionals)))
+
+
+@dtc.dataclass
+class RemoveDC(Functional):
+    """First-order DC-blocking IIR, ``y[n] = x[n] - x[n-1] + .99 y[n-1]``
+    (reference ``functionals.py:216-233``)."""
+
+    def np_func(self, inputs):
+        from scipy.signal import lfilter
+
+        return lfilter([1.0, -1.0], [1.0, -0.99], inputs, axis=-1).astype(
+            inputs.dtype
+        )
+
+    def jax_func(self, inputs):
+        import jax
+        import jax.numpy as jnp
+
+        x = inputs
+        dx = x - jnp.concatenate(
+            [jnp.zeros_like(x[..., :1]), x[..., :-1]], axis=-1
+        )
+
+        def step(carry, d):
+            y = d + 0.99 * carry
+            return y, y
+
+        # scan over the last axis
+        moved = jnp.moveaxis(dx, -1, 0)
+        _, ys = jax.lax.scan(step, jnp.zeros(moved.shape[1:], moved.dtype), moved)
+        return jnp.moveaxis(ys, 0, -1)
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class Normalize(Functional):
+    """p-norm normalization along ``dim`` (default inf-norm → peak = 1)."""
+
+    p: float = float("inf")
+    dim: int = -1
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(-1.0, 1.0, 1)
+
+    def _norm(self, xp, x):
+        if self.p == float("inf"):
+            n = xp.max(xp.abs(x), axis=self.dim, keepdims=True)
+        else:
+            n = xp.sum(xp.abs(x) ** self.p, axis=self.dim, keepdims=True) ** (
+                1.0 / self.p
+            )
+        return xp.where(n > np.finfo(np.float32).tiny, n, xp.ones_like(n))
+
+    def np_func(self, inputs):
+        return (inputs / self._norm(np, inputs)).astype(inputs.dtype)
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        return inputs / self._norm(jnp, inputs)
+
+    @property
+    def inv(self):
+        return Identity()
+
+
+@dtc.dataclass
+class Emphasis(Functional):
+    """Pre-emphasis FIR ``y[n] = x[n] - e·x[n-1]``."""
+
+    emphasis: float = 0.0
+
+    def np_func(self, inputs):
+        from scipy.signal import lfilter
+
+        return lfilter([1, -self.emphasis], [1], inputs).astype(inputs.dtype)
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        x = inputs
+        prev = jnp.concatenate([jnp.zeros_like(x[..., :1]), x[..., :-1]], axis=-1)
+        return x - self.emphasis * prev
+
+    @property
+    def inv(self):
+        return Deemphasis(self.emphasis)
+
+
+@dtc.dataclass
+class Deemphasis(Functional):
+    """Inverse of :class:`Emphasis`: IIR ``y[n] = (1-e)·x[n] + e·y[n-1]``."""
+
+    emphasis: float = 0.0
+
+    def np_func(self, inputs):
+        from scipy.signal import lfilter
+
+        return lfilter(
+            [1 - self.emphasis], [1, -self.emphasis], inputs
+        ).astype(inputs.dtype)
+
+    def jax_func(self, inputs):
+        import jax
+        import jax.numpy as jnp
+
+        x = (1 - self.emphasis) * inputs
+        e = self.emphasis
+
+        def step(carry, v):
+            y = v + e * carry
+            return y, y
+
+        moved = jnp.moveaxis(x, -1, 0)
+        _, ys = jax.lax.scan(step, jnp.zeros(moved.shape[1:], moved.dtype), moved)
+        return jnp.moveaxis(ys, 0, -1)
+
+    @property
+    def inv(self):
+        return Emphasis(self.emphasis)
+
+
+@dtc.dataclass
+class Resample(Functional):
+    orig_sr: int = 22050
+    target_sr: int = 16000
+
+    @property
+    def unit(self) -> Optional[Unit]:
+        return Sample(self.target_sr)
+
+    def np_func(self, inputs):
+        y = dsp.resample_np(inputs, self.orig_sr, self.target_sr)
+        return _add_metadata(y, sr=self.target_sr)
+
+    def jax_func(self, inputs):
+        import jax
+        import jax.numpy as jnp
+
+        n_out = int(round(inputs.shape[-1] * self.target_sr / self.orig_sr))
+        return jax.image.resize(
+            inputs, (*inputs.shape[:-1], n_out), method="linear"
+        ).astype(jnp.float32)
+
+    @property
+    def inv(self):
+        return Resample(self.target_sr, self.orig_sr)
+
+
+@dtc.dataclass
+class MuLawCompress(Functional):
+    """Centered mu-law quantizer — THE SampleRNN/WaveNet front-end
+    (reference ``functionals.py:313-342``)."""
+
+    q_levels: int = Q_LEVELS
+    compression: float = 1.0
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Discrete(self.q_levels)
+
+    def np_func(self, inputs):
+        x = np.asarray(inputs)
+        if not np.issubdtype(x.dtype, np.floating):
+            x = x.astype(np.float32)
+        out = dsp.mu_compress(x, self.q_levels, self.compression, xp=np)
+        return _add_metadata(out, **_to_dict(np.asarray(inputs).dtype.metadata))
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        x = inputs.astype(jnp.float32)
+        mu = self.q_levels - 1.0
+        x_mu = (
+            jnp.sign(x)
+            * jnp.log1p(mu * jnp.abs(x) * self.compression)
+            / np.log1p(mu * self.compression)
+        )
+        return ((x_mu + 1) / 2 * mu + 0.5).astype(jnp.int32)
+
+    @property
+    def inv(self):
+        return MuLawExpand(self.q_levels, self.compression)
+
+
+@dtc.dataclass
+class MuLawExpand(Functional):
+    q_levels: int = Q_LEVELS
+    compression: float = 1.0
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(-1.0, 1.0, 1)
+
+    def np_func(self, inputs):
+        x = np.asarray(inputs).astype(np.float64)
+        out = dsp.mu_expand(x, self.q_levels, self.compression, xp=np)
+        return _add_metadata(
+            out.astype(np.float32), **_to_dict(np.asarray(inputs).dtype.metadata)
+        )
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        x = inputs.astype(jnp.float32)
+        mu = self.q_levels - 1.0
+        y = (x / mu) * 2 - 1.0
+        return (
+            jnp.sign(y)
+            * (jnp.exp(jnp.abs(y) * np.log1p(mu * self.compression)) - 1.0)
+            / (mu * self.compression)
+        )
+
+    @property
+    def inv(self):
+        return MuLawCompress(self.q_levels, self.compression)
+
+
+def _alaw_compress_np(x, A=87.6):
+    mask = np.abs(x) < (1 / A)
+    y = np.sign(x)
+    y[mask] *= (A * np.abs(x[mask])) / (1 + np.log(A))
+    y[~mask] *= (1 + np.log(A) * np.abs(x[~mask])) / (1 + np.log(A))
+    return y
+
+
+def _alaw_expand_np(y, A=87.6):
+    x = np.sign(y)
+    ln_a = 1 + np.log(A)
+    mask = np.abs(y) < (1 / ln_a)
+    x[mask] *= (np.abs(y[mask]) * ln_a) / A
+    x[~mask] *= np.exp(-1 + np.abs(y[~mask]) * ln_a) / A
+    return x
+
+
+@dtc.dataclass
+class ALawCompress(Functional):
+    A: float = 87.6
+    q_levels: int = Q_LEVELS
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Discrete(self.q_levels)
+
+    def np_func(self, inputs):
+        x = np.asarray(inputs, dtype=np.float32)
+        if np.any(x < -1) or np.any(x > 1):
+            x = Normalize()(x)
+        qx = _alaw_compress_np(x, A=self.A)
+        return np.digitize(
+            qx, np.linspace(-1, 1, num=self.q_levels, endpoint=True), right=True
+        )
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        x = inputs.astype(jnp.float32)
+        A = self.A
+        y = jnp.sign(x) * jnp.where(
+            jnp.abs(x) < 1 / A,
+            (A * jnp.abs(x)) / (1 + np.log(A)),
+            (1 + np.log(A) * jnp.abs(x)) / (1 + np.log(A)),
+        )
+        bins = jnp.linspace(-1, 1, self.q_levels)
+        return jnp.searchsorted(bins, y, side="left").astype(jnp.int32)
+
+    @property
+    def inv(self):
+        return ALawExpand(self.A, self.q_levels)
+
+
+@dtc.dataclass
+class ALawExpand(Functional):
+    A: float = 87.6
+    q_levels: int = Q_LEVELS
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(-1.0, 1.0, 1)
+
+    def np_func(self, inputs):
+        return _alaw_expand_np(
+            np.asarray(inputs, dtype=np.float32) * 2.0 / self.q_levels, A=self.A
+        )
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        y = inputs.astype(jnp.float32) * 2.0 / self.q_levels
+        ln_a = 1 + np.log(self.A)
+        return jnp.sign(y) * jnp.where(
+            jnp.abs(y) < 1 / ln_a,
+            (jnp.abs(y) * ln_a) / self.A,
+            jnp.exp(-1 + jnp.abs(y) * ln_a) / self.A,
+        )
+
+    @property
+    def inv(self):
+        return ALawCompress(self.A, self.q_levels)
+
+
+@dtc.dataclass
+class STFT(Functional):
+    """Short-time Fourier transform, (time, freq) layout
+    (reference ``functionals.py:450-528``).
+
+    ``alignment`` trims the signal so its length maps exactly onto a whole
+    number of frames — the semantics the fft-alignment tests pin down.
+    """
+
+    n_fft: int = N_FFT
+    hop_length: int = HOP_LENGTH
+    coordinate: str = "pol"
+    center: bool = True
+    window: Optional[str] = "hann"
+    pad_mode: str = "constant"
+    alignment: Optional[str] = "end"
+
+    @property
+    def unit(self) -> Optional[Unit]:
+        return Frame(self.n_fft, self.hop_length, padding=self.center)
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(0.0, float("inf"), 1 + self.n_fft // 2)
+
+    def _fix_length(self, inputs):
+        if self.alignment is None:
+            return inputs
+        n = inputs.shape[-1]
+        target_length = convert(
+            convert(n, Sample(1), self.unit, as_length=True) + int(self.center),
+            self.unit,
+            Sample(1),
+            as_length=True,
+        )
+        if self.alignment == "end":
+            return inputs[..., -target_length:]
+        if self.alignment == "start":
+            return inputs[..., :target_length]
+        return inputs
+
+    def _coord(self, xp, S):
+        if self.coordinate == "pol":
+            return xp.stack((xp.abs(S), xp.angle(S)), axis=-1)
+        if self.coordinate == "car":
+            return xp.stack((S.real, S.imag), axis=-1)
+        if self.coordinate == "mag":
+            return xp.abs(S)
+        if self.coordinate == "angle":
+            return xp.angle(S)
+        return S
+
+    def np_func(self, inputs):
+        y = self._fix_length(np.asarray(inputs))
+        S = dsp.stft_np(
+            y, self.n_fft, self.hop_length, self.center,
+            self.window, self.pad_mode,
+        )
+        return self._coord(np, S)
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        y = self._fix_length(inputs)
+        S = dsp.stft_jax(
+            y, self.n_fft, self.hop_length, self.center,
+            self.window, self.pad_mode,
+        )
+        return self._coord(jnp, S)
+
+    @property
+    def inv(self):
+        return ISTFT(
+            self.n_fft, self.hop_length, self.coordinate, self.center, self.window
+        )
+
+
+@dtc.dataclass
+class ISTFT(Functional):
+    n_fft: int = N_FFT
+    hop_length: int = HOP_LENGTH
+    coordinate: str = "pol"
+    center: bool = True
+    window: Optional[str] = None
+    pad_mode: str = "constant"
+
+    @property
+    def unit(self) -> Optional[Unit]:
+        return Sample(None)
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(-1.0, 1.0, 1)
+
+    def _to_complex(self, xp, inputs):
+        if self.coordinate == "pol":
+            return inputs[..., 0] * xp.exp(1j * inputs[..., 1])
+        if self.coordinate == "car":
+            return inputs[..., 0] + 1j * inputs[..., 1]
+        return inputs
+
+    def np_func(self, inputs):
+        S = self._to_complex(np, np.asarray(inputs))
+        return dsp.istft_np(S, self.n_fft, self.hop_length, self.center, self.window)
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        S = self._to_complex(jnp, inputs)
+        return dsp.istft_jax(S, self.n_fft, self.hop_length, self.center, self.window)
+
+    @property
+    def inv(self):
+        return STFT(
+            self.n_fft, self.hop_length, self.coordinate, self.center,
+            self.window, self.pad_mode,
+        )
+
+
+@dtc.dataclass
+class MagSpec(Functional):
+    """Magnitude spectrogram; ``inv`` is Griffin-Lim."""
+
+    n_fft: int = N_FFT
+    hop_length: int = HOP_LENGTH
+    center: bool = True
+    window: Optional[str] = "hann"
+    pad_mode: str = "constant"
+    alignment: Optional[str] = "end"
+
+    @property
+    def stft(self):
+        return STFT(
+            self.n_fft, self.hop_length, "mag", self.center, self.window,
+            self.pad_mode, alignment=self.alignment,
+        )
+
+    @property
+    def unit(self) -> Optional[Unit]:
+        return Frame(self.n_fft, self.hop_length, padding=self.center)
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(0.0, float("inf"), 1 + self.n_fft // 2)
+
+    def np_func(self, inputs):
+        return self.stft.np_func(inputs)
+
+    def jax_func(self, inputs):
+        return self.stft.jax_func(inputs)
+
+    @property
+    def inv(self):
+        return GLA(self.n_fft, self.hop_length, self.center, self.window, self.pad_mode)
+
+
+@dtc.dataclass
+class GLA(Functional):
+    """Griffin-Lim phase reconstruction (reference ``functionals.py:609-646``).
+
+    The JAX path runs the whole iteration jitted on device — on TPU this is
+    orders of magnitude faster than librosa's CPU loop.
+    """
+
+    n_fft: int = N_FFT
+    hop_length: int = HOP_LENGTH
+    center: bool = True
+    window: Optional[str] = None
+    pad_mode: str = "constant"
+    n_iter: int = 32
+
+    @property
+    def unit(self) -> Optional[Unit]:
+        return Sample(None)
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(-1.0, 1.0, 1)
+
+    def np_func(self, inputs):
+        w = self.window if self.window is not None else "hann"
+        return dsp.griffinlim_np(
+            np.asarray(inputs), self.n_fft, self.hop_length, self.center,
+            w, self.n_iter,
+        )
+
+    def jax_func(self, inputs):
+        w = self.window if self.window is not None else "hann"
+        return dsp.griffinlim_jax(
+            inputs, self.n_fft, self.hop_length, self.center, w, self.n_iter
+        )
+
+    @property
+    def inv(self):
+        return MagSpec(self.n_fft, self.hop_length, self.center, self.window, self.pad_mode)
+
+
+@dtc.dataclass
+class MelSpec(Functional):
+    """Mel projection of a MagSpec input (time, freq) -> (time, n_mels)."""
+
+    n_mels: int = 128
+    fmin: float = 0.0
+    fmax: Optional[float] = None
+    htk: bool = False
+    sr: int = SR
+    n_fft: int = N_FFT
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(0.0, float("inf"), self.n_mels)
+
+    def _fb(self):
+        return dsp.mel_filterbank(
+            self.sr, self.n_fft, self.n_mels, self.fmin, self.fmax, self.htk
+        )
+
+    def np_func(self, inputs):
+        # mel power spectrogram of a magnitude input: project |S|^2
+        return (np.asarray(inputs) ** 2) @ self._fb().T
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        return (inputs ** 2) @ jnp.asarray(self._fb()).T
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class MFCC(Functional):
+    """DCT-II of a (log-)mel input along the feature axis."""
+
+    n_mfcc: int = 20
+    dct_type: int = 2
+    norm: Optional[str] = "ortho"
+    lifter: int = 0
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(0.0, float("inf"), self.n_mfcc)
+
+    def _apply(self, xp, S):
+        basis = dsp.dct_matrix(self.n_mfcc, S.shape[-1], self.norm)
+        log_mel = xp.log(xp.maximum(S, 1e-10) if xp is np else xp.maximum(S, 1e-10))
+        m = log_mel @ xp.asarray(basis).T
+        if self.lifter > 0:
+            n = np.arange(self.n_mfcc)
+            lift = 1 + (self.lifter / 2) * np.sin(np.pi * (n + 1) / self.lifter)
+            m = m * xp.asarray(lift.astype(np.float32))
+        return m
+
+    def np_func(self, inputs):
+        return self._apply(np, np.asarray(inputs))
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        return self._apply(jnp, inputs)
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class Chroma(Functional):
+    """Chroma projection of a MagSpec input."""
+
+    n_chroma: int = 12
+    sr: int = SR
+    n_fft: int = N_FFT
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(0.0, float("inf"), self.n_chroma)
+
+    def _fb(self) -> np.ndarray:
+        """Gaussian-bump chroma filterbank over fft bin pitches."""
+        n_bins = 1 + self.n_fft // 2
+        freqs = np.linspace(0, self.sr / 2, n_bins)[1:]
+        pitches = 12 * np.log2(freqs / 440.0) + 69.0  # midi
+        chroma_of_bin = pitches % 12
+        fb = np.zeros((self.n_chroma, n_bins), dtype=np.float32)
+        c = np.arange(self.n_chroma)[:, None]
+        d = np.minimum(
+            np.abs(chroma_of_bin[None, :] * self.n_chroma / 12 - c) % self.n_chroma,
+            self.n_chroma
+            - np.abs(chroma_of_bin[None, :] * self.n_chroma / 12 - c) % self.n_chroma,
+        )
+        fb_body = np.exp(-0.5 * (d / 1.0) ** 2).astype(np.float32)
+        fb[:, 1:] = fb_body
+        fb /= np.maximum(fb.sum(axis=0, keepdims=True), 1e-8)
+        return fb
+
+    def np_func(self, inputs):
+        return np.asarray(inputs) @ self._fb().T
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        return inputs @ jnp.asarray(self._fb()).T
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+def _hpss_masks(S, kernel_size=31, power=1.0, margin=1.0):
+    """Median-filtering HPSS (Fitzgerald), S: (time, freq) magnitude."""
+    from scipy.ndimage import median_filter
+
+    harm = median_filter(S, size=(kernel_size, 1), mode="reflect")
+    perc = median_filter(S, size=(1, kernel_size), mode="reflect")
+    if power == np.inf:
+        mask_h = (harm > margin * perc).astype(S.dtype)
+        mask_p = (perc > margin * harm).astype(S.dtype)
+    else:
+        hp = harm ** power
+        pp = perc ** power
+        tot = hp + pp
+        tiny = np.finfo(S.dtype).tiny
+        mask_h = np.where(tot > tiny, hp / np.maximum(tot, tiny), 0.0)
+        mask_p = np.where(tot > tiny, pp / np.maximum(tot, tiny), 0.0)
+        if margin != 1.0:
+            mask_h = (hp > margin * pp).astype(S.dtype) * mask_h
+            mask_p = (pp > margin * hp).astype(S.dtype) * mask_p
+    return mask_h, mask_p
+
+
+@dtc.dataclass
+class HarmonicSource(Functional):
+    kernel_size: int = 31
+    power: float = 1.0
+    margin: float = 1.0
+
+    def np_func(self, inputs):
+        S = np.asarray(inputs)
+        mask_h, _ = _hpss_masks(S, self.kernel_size, self.power, self.margin)
+        return S * mask_h
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class PercussiveSource(Functional):
+    kernel_size: int = 31
+    power: float = 1.0
+    margin: float = 1.0
+
+    def np_func(self, inputs):
+        S = np.asarray(inputs)
+        _, mask_p = _hpss_masks(S, self.kernel_size, self.power, self.margin)
+        return S * mask_p
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class Envelop(Functional):
+    """Spectral-sum amplitude envelope, optionally interpolated back to the
+    time domain (reference ``functionals.py:794-830``)."""
+
+    n_fft: int = N_FFT
+    hop_length: int = HOP_LENGTH
+    normalize: bool = True
+    window: str = "hann"
+    interp_to_time_domain: bool = True
+
+    @property
+    def fft(self):
+        return MagSpec(
+            self.n_fft, self.hop_length, center=True, window=self.window,
+            pad_mode="reflect",
+        )
+
+    @property
+    def unit(self) -> Optional[Unit]:
+        return Sample(None) if self.interp_to_time_domain else self.fft.unit
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        mx = 1.0 if self.normalize else float("inf")
+        return Continuous(0.0, mx, 1)
+
+    def np_func(self, inputs):
+        S = self.fft(np.asarray(inputs))
+        e = S.sum(axis=-1)
+        if self.interp_to_time_domain:
+            e = Interpolate(length=inputs.shape[-1])(e)
+        if self.normalize:
+            e = e / max(e.max(), 1e-12)
+        return e.astype(np.float32)
+
+    @property
+    def inv(self):
+        return Identity()
+
+
+@dtc.dataclass
+class EnvelopBank(Functional):
+    n_fft: Tuple[int, ...] = (N_FFT,)
+    hop_length: Tuple[int, ...] = (HOP_LENGTH,)
+    normalize: bool = True
+
+    @property
+    def envelops(self):
+        return tuple(
+            Envelop(n_fft, hop, self.normalize, "hann", True)
+            for n_fft, hop in zip(self.n_fft, self.hop_length)
+        )
+
+    @property
+    def unit(self) -> Optional[Unit]:
+        return Sample(None)
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        mx = 1.0 if self.normalize else float("inf")
+        return Continuous(0.0, mx, len(self.envelops))
+
+    def np_func(self, inputs):
+        return np.hstack([e(inputs) for e in self.envelops])
+
+    @property
+    def inv(self):
+        return Identity()
+
+
+@dtc.dataclass
+class Interpolate(Functional):
+    axis: int = -1
+    mode: str = "linear"
+    length: Optional[int] = None
+    factor: Optional[int] = None
+    metadata_key: str = "n_samples"
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(-float("inf"), float("inf"), 1)
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+    def _get_target_length(self, x):
+        if self.length is not None:
+            return self.length
+        if self.factor is not None:
+            return self.factor * x.shape[self.axis]
+        n = get_metadata(x, self.metadata_key)
+        if n is None:
+            raise ValueError(
+                "No target length provided. One of length or factor must not"
+                f" be None, or inputs must have the metadata key {self.metadata_key}"
+            )
+        return n
+
+    def np_func(self, inputs):
+        from scipy.interpolate import interp1d
+
+        x = np.asarray(inputs)
+        input_n = x.shape[self.axis]
+        f = interp1d(
+            np.arange(input_n), x, kind=self.mode, axis=self.axis,
+            assume_sorted=True, copy=False,
+        )
+        n = self._get_target_length(x)
+        return f(np.linspace(0, input_n - 1, n)).astype(x.dtype)
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        x = inputs
+        n = self._get_target_length(x)
+        input_n = x.shape[self.axis]
+        pos = jnp.linspace(0, input_n - 1, n)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, input_n - 1)
+        hi = jnp.clip(lo + 1, 0, input_n - 1)
+        frac = (pos - lo).astype(x.dtype)
+        xl = jnp.take(x, lo, axis=self.axis)
+        xh = jnp.take(x, hi, axis=self.axis)
+        shape = [1] * x.ndim
+        shape[self.axis] = n
+        frac = frac.reshape(shape)
+        return xl * (1 - frac) + xh * frac
+
+    @property
+    def unit(self) -> Optional[Unit]:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# multi-lag smoothed derivative (the reference's numba kernels,
+# ``functionals.py:919-974``; here: vectorized numpy + optional C++ + JAX)
+# ---------------------------------------------------------------------------
+
+def _odd_reflect_pad_np(y: np.ndarray, k_half: int) -> np.ndarray:
+    """np.pad(mode='reflect', reflect_type='odd') along the last axis."""
+    left = y[..., :1] + (y[..., :1] - y[..., 1 : 1 + k_half])[..., ::-1]
+    right = y[..., -1:] + (y[..., -1:] - y[..., -k_half - 1 : -1])[..., ::-1]
+    return np.concatenate([left, y, right], axis=-1)
+
+
+def derivative_np(y: np.ndarray, max_lag: int) -> np.ndarray:
+    """Multi-lag averaged central difference; numpy reference path.
+
+    A compiled C++ kernel (``mimikit_tpu.ops.native``) is used when built.
+    """
+    if y.ndim not in (1, 2):
+        raise ValueError(
+            f"Expected input array to have 1 or 2 dimensions. Got {y.ndim}"
+        )
+    try:
+        from ..ops import native
+
+        return native.derivative(np.ascontiguousarray(y, np.float32), max_lag)
+    except Exception:
+        pass
+    y = np.asarray(y, np.float32)
+    grads = np.zeros_like(y)
+    for lag in range(1, max_lag + 1):
+        y_p = _odd_reflect_pad_np(y, lag)
+        k = 2 * lag + 1
+        a, b = y_p[..., : -k + 1], y_p[..., k - 1 :]
+        grads += (1 / lag) * ((b - y) + (y - a)) / 2 / max_lag
+    return grads
+
+
+def derivative_jax(y, max_lag: int):
+    import jax.numpy as jnp
+
+    grads = jnp.zeros_like(y)
+    for lag in range(1, max_lag + 1):
+        left = y[..., :1] + (y[..., :1] - y[..., 1 : 1 + lag])[..., ::-1]
+        right = y[..., -1:] + (y[..., -1:] - y[..., -lag - 1 : -1])[..., ::-1]
+        y_p = jnp.concatenate([left, y, right], axis=-1)
+        k = 2 * lag + 1
+        a, b = y_p[..., : -k + 1], y_p[..., k - 1 :]
+        grads += (1 / lag) * ((b - y) + (y - a)) / 2 / max_lag
+    return grads
+
+
+@dtc.dataclass
+class Derivative(Functional):
+    max_lag: int = 3
+    normalize: bool = False
+
+    @property
+    def elem_type(self) -> Optional[EventType]:
+        return Continuous(-float("inf"), float("inf"), 1)
+
+    def np_func(self, inputs):
+        g = derivative_np(np.asarray(inputs, np.float32), self.max_lag)
+        if self.normalize:
+            g = g / np.abs(g).max(axis=-1, keepdims=True)
+        return g
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        g = derivative_jax(inputs, self.max_lag)
+        if self.normalize:
+            g = g / jnp.abs(g).max(axis=-1, keepdims=True)
+        return g
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class AutoConvolve(Functional):
+    """Log-product self-convolution filter over a (time, freq) spectrogram
+    (reference ``functionals.py:1007-1036``)."""
+
+    window_size: int = 3
+
+    def _apply(self, xp, S):
+        k = self.window_size
+        # sliding product of k consecutive frames (padded with ones at start)
+        pads = [(k - 1 - i, i) for i in range(k)]
+        prod = None
+        for left, right in pads:
+            shifted = xp.pad(
+                S.astype("float64") if xp is np else S.astype("float64"),
+                ((left, right), (0, 0)),
+                constant_values=1.0,
+            )[k // 2 : k // 2 + S.shape[0]]
+            prod = shifted if prod is None else prod * shifted
+        z = xp.log(1 + prod)
+        z = z / (z.sum(axis=1, keepdims=True) + 1e-8)
+        return (z * S).astype(S.dtype)
+
+    def np_func(self, inputs):
+        return self._apply(np, np.asarray(inputs))
+
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        return self._apply(jnp, inputs)
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class F0Filter(Functional):
+    """Harmonic-minus-undertone masking of a (time, freq) spectrogram
+    (reference ``functionals.py:1039-1080``)."""
+
+    n_overtone: int = 4
+    n_undertone: int = 4
+    soft: bool = True
+    normalize: bool = True
+
+    def _interp_harmonic(self, S, factor):
+        """Sample S(time, f*factor) by linear interp along freq."""
+        n_bins = S.shape[-1]
+        pos = np.arange(n_bins) * factor
+        lo = np.clip(np.floor(pos).astype(int), 0, n_bins - 1)
+        hi = np.clip(lo + 1, 0, n_bins - 1)
+        frac = (pos - lo).astype(S.dtype)
+        out = S[..., lo] * (1 - frac) + S[..., hi] * frac
+        return np.where(pos[None, :] < n_bins, out, 0.0)
+
+    def np_func(self, inputs):
+        S = np.asarray(inputs)
+        over = sum(
+            self._interp_harmonic(S, h) for h in range(1, max(2, self.n_overtone))
+        )
+        under = sum(
+            (self._interp_harmonic(S, 1.0 / h) for h in range(2, max(3, self.n_undertone))),
+            np.zeros_like(S),
+        )
+        y = over - under
+        y = y * (y > 0) if self.soft else (y > 0).astype(S.dtype)
+        if self.normalize:
+            y = y / (y.sum(axis=-1, keepdims=True) + 1e-8)
+        return S * y
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class NearestNeighborFilter(Functional):
+    """Replace each frame by the aggregate of its k nearest neighbors
+    (reference ``functionals.py:1083-1111``)."""
+
+    n_neighbors: int = 16
+    metric: str = "cosine"
+    aggregate: str = "median"
+
+    def np_func(self, inputs):
+        from sklearn.neighbors import NearestNeighbors
+
+        X = np.asarray(inputs)
+        k = min(self.n_neighbors + 1, X.shape[0])
+        nn = NearestNeighbors(n_neighbors=k, metric=self.metric).fit(X)
+        _, idx = nn.kneighbors(X)
+        agg = getattr(np, self.aggregate)
+        return agg(X[idx[:, 1:]], axis=1).astype(X.dtype)
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class PCA(Functional):
+    n_components: int = 16
+    random_seed: int = 42
+
+    def np_func(self, inputs):
+        from sklearn.decomposition import PCA as skPCA
+        from sklearn.preprocessing import StandardScaler
+
+        x = StandardScaler().fit_transform(np.asarray(inputs))
+        return skPCA(
+            n_components=self.n_components, random_state=self.random_seed, copy=False
+        ).fit_transform(x)
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class NMF(Functional):
+    n_components: int = 16
+    tol: float = 1e-4
+    max_iter: int = 200
+    random_seed: int = 42
+
+    def np_func(self, inputs):
+        from sklearn.decomposition import NMF as skNMF
+
+        return skNMF(
+            n_components=self.n_components, tol=self.tol,
+            max_iter=self.max_iter, random_state=self.random_seed,
+        ).fit_transform(np.asarray(inputs))
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
+@dtc.dataclass
+class FactorAnalysis(Functional):
+    n_components: int = 16
+    tol: float = 1e-2
+    max_iter: int = 1000
+    random_seed: int = 42
+
+    def np_func(self, inputs):
+        from sklearn.decomposition import FactorAnalysis as skFA
+
+        return skFA(
+            n_components=self.n_components, tol=self.tol,
+            max_iter=self.max_iter, random_state=self.random_seed, copy=False,
+        ).fit_transform(np.asarray(inputs))
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()

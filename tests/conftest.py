@@ -1,0 +1,22 @@
+"""Test environment: force the CPU backend with a virtual 8-device mesh so
+sharding tests run without TPU hardware.
+
+The image pins ``JAX_PLATFORMS=axon`` (a tunneled TPU backend) via
+sitecustomize, so plain env-var defaults don't stick — we override the jax
+config directly before any backend is initialized.
+"""
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

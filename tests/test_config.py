@@ -1,0 +1,74 @@
+"""Config system round-trips (reference ``tests/test_checkpointable.py``)."""
+import dataclasses as dtc
+from typing import Optional, Tuple
+
+import mimikit_tpu as mmk
+
+
+def test_type_tag_and_roundtrip():
+    f = mmk.MuLawCompress(q_levels=128, compression=0.5)
+    y = f.serialize()
+    assert "type: MuLawCompress" in y
+    g = mmk.Config.deserialize(y)
+    assert isinstance(g, mmk.MuLawCompress)
+    assert g == f
+
+
+def test_nested_compose_roundtrip():
+    c = mmk.Compose(mmk.FileToSignal(16000), mmk.Normalize(), mmk.RemoveDC())
+    c2 = mmk.Config.deserialize(c.serialize())
+    assert c2 == c
+    assert isinstance(c2.functionals[0], mmk.FileToSignal)
+
+
+def test_inverse_of_deserialized():
+    c = mmk.Compose(mmk.MuLawCompress(64))
+    c2 = mmk.Config.deserialize(c.serialize())
+    inv = c2.inv
+    assert isinstance(inv.functionals[0], mmk.MuLawExpand)
+    assert inv.functionals[0].q_levels == 64
+
+
+# a user-defined config OUTSIDE the mimikit_tpu package must round-trip via
+# its module-qualified type tag
+@dtc.dataclass
+class MyCustomConfig(mmk.Config):
+    lr: float = 1e-3
+    dims: Tuple[int, ...] = (8, 16)
+    name: Optional[str] = None
+
+
+def test_user_defined_config_roundtrip():
+    cfg = MyCustomConfig(lr=0.5, dims=(1, 2, 3), name="x")
+    y = cfg.serialize()
+    assert ":" in y.splitlines()[0]  # module-qualified tag
+    cfg2 = mmk.Config.deserialize(y)
+    assert isinstance(cfg2, MyCustomConfig)
+    assert cfg2 == cfg
+    assert cfg2.dims == (1, 2, 3)
+
+
+def test_extractor_roundtrip():
+    e = mmk.Extractor.signal(sr=22050)
+    e2 = mmk.Config.deserialize(e.serialize(), as_type=mmk.Extractor)
+    assert e2.name == "signal"
+    assert isinstance(e2.functional, mmk.Compose)
+    assert e2.functional.functionals[0].sr == 22050
+
+
+def test_dataset_config_roundtrip(tmp_path):
+    cfg = mmk.DatasetConfig(
+        sources=("a.wav", "b.wav"),
+        filename=str(tmp_path / "db.h5"),
+        extractors=(mmk.Extractor.signal(16000),),
+    )
+    y = cfg.serialize()
+    cfg2 = mmk.Config.deserialize(y, as_type=mmk.DatasetConfig)
+    assert cfg2.sources == cfg.sources
+    assert isinstance(cfg2.extractors[0], mmk.Extractor)
+
+
+def test_owner_class():
+    # Functional's owner mapping: a nested Config maps back to its outer class
+    f = mmk.MuLawCompress()
+    assert f.owner_class is mmk.MuLawCompress

@@ -1,0 +1,128 @@
+"""Shared fixtures: fake-array datasets + a minimal fake ARM.
+
+Mirrors the reference's fixture strategy
+(``/root/reference/tests/test_utils.py:24-123``): random arrays stand in for
+decoded audio so the whole suite runs without sound files.
+"""
+import dataclasses as dtc
+from typing import Optional, Tuple
+
+import numpy as np
+import pytest
+
+import mimikit_tpu as mmk
+
+
+@dtc.dataclass
+class RandSignal(mmk.Functional):
+    """Fake FileToSignal: random float signal regardless of the 'file'."""
+
+    sr: int = 16000
+    n_samples: int = 32000
+
+    @property
+    def unit(self):
+        return mmk.Sample(self.sr)
+
+    @property
+    def elem_type(self):
+        return mmk.Continuous(-1.0, 1.0, 1)
+
+    def np_func(self, inputs):
+        rng = np.random.RandomState(abs(hash(str(inputs))) % (2 ** 31))
+        return rng.uniform(-1, 1, self.n_samples).astype(np.float32)
+
+    def __call__(self, inputs):
+        return self.np_func(inputs)
+
+    @property
+    def inv(self):
+        return mmk.Identity()
+
+
+@dtc.dataclass
+class RandLabel(mmk.Functional):
+    n_classes: int = 16
+    n_samples: int = 32000
+
+    @property
+    def elem_type(self):
+        return mmk.Discrete(self.n_classes)
+
+    def np_func(self, inputs):
+        rng = np.random.RandomState(abs(hash(str(inputs))) % (2 ** 31))
+        return rng.randint(0, self.n_classes, self.n_samples)
+
+    def __call__(self, inputs):
+        return self.np_func(inputs)
+
+    @property
+    def inv(self):
+        return mmk.Identity()
+
+
+def make_db_config(tmp_path, sr=16000, n_samples=32000, filename="test.h5"):
+    return mmk.DatasetConfig(
+        sources=("0", "1"),
+        filename=str(tmp_path / filename),
+        extractors=(
+            mmk.Extractor(name="signal", functional=RandSignal(sr, n_samples)),
+        ),
+    )
+
+
+@pytest.fixture
+def tmp_db(tmp_path):
+    cfg = make_db_config(tmp_path)
+    db = cfg.create(mode="w")
+    yield db
+    db.close()
+
+
+def test_rand_db_fixture(tmp_db):
+    assert tmp_db.signal.shape == (64000,)
+    assert tmp_db.signal[0:10].shape == (10,)
+    assert len(tmp_db.signal.refs) == 2
+    assert tmp_db.signal.refs[1] == slice(32000, 64000)
+
+
+def test_serve_slices(tmp_db):
+    batch = (
+        (
+            mmk.Input(
+                data="signal",
+                getter=mmk.AsSlice(shift=0, length=16),
+                transform=mmk.MuLawCompress(256),
+            ),
+        ),
+        (mmk.Input(data="signal", getter=mmk.AsSlice(shift=8, length=8)),),
+    )
+    dl = tmp_db.serve(batch, batch_size=4, shuffle=True)
+    (x,), (y,) = next(iter(dl))
+    assert x.shape == (4, 16)
+    assert x.dtype in (np.int64, np.int32)
+    assert y.shape == (4, 8)
+    assert len(dl) == (64000 - 16 + 1) // 4
+
+
+def test_tbptt_sampler_is_contiguous():
+    smp = mmk.TBPTTSampler(
+        n_samples=10000, batch_size=2, chunk_length=2048, seq_len=512, seed=0
+    )
+    batches = list(iter(smp))
+    assert len(batches) == len(smp)
+    n_per_chunk = 2048 // 512
+    for round_start in range(0, len(batches), n_per_chunk):
+        rnd = batches[round_start : round_start + n_per_chunk]
+        for j, batch in enumerate(rnd):
+            for lane in range(2):
+                assert batch[lane] == rnd[0][lane] + j * 512
+
+
+def test_indices_sampler_fixed_and_random():
+    smp = mmk.IndicesSampler(
+        N=3, indices=(5, None, 11), max_i=100, sampling_stride=4, seed=0
+    )
+    idx = list(iter(smp))
+    assert idx[0] == 5 and idx[2] == 11
+    assert idx[1] % 4 == 0 and 0 <= idx[1] < 100
