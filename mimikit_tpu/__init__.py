@@ -17,3 +17,8 @@ from .config import *
 from .utils import *
 from .features import *
 from .data import *
+from .io_spec import *
+from .modules import *
+from .networks import *
+from .loops import *
+from .checkpoint import *

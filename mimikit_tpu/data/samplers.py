@@ -45,10 +45,10 @@ class TBPTTSampler:
 
     def __iter__(self):
         indices = self._rng.permutation(self.n_chunks * self.oversampling)
-        n_batches = len(indices) // self.batch_size
-        for b in range(n_batches):
-            top = indices[b * self.batch_size : (b + 1) * self.batch_size]
-            offsets = self._rng.randint(0, self.remainder, size=self.batch_size)
+        # partial final batch included (torch BatchSampler drop_last=False)
+        for b in range(0, len(indices), self.batch_size):
+            top = indices[b : b + self.batch_size]
+            offsets = self._rng.randint(0, self.remainder, size=len(top))
             top_idx = tuple(
                 int(o) + (int(t) % self.n_chunks) * self.chunk_length
                 for t, o in zip(top, offsets)
@@ -57,9 +57,8 @@ class TBPTTSampler:
                 yield tuple(t + start * self.seq_len for t in top_idx)
 
     def __len__(self):
-        return (
-            self.oversampling * self.n_chunks // self.batch_size
-        ) * self.n_per_chunk
+        n_rounds = -(-(self.oversampling * self.n_chunks) // self.batch_size)
+        return n_rounds * self.n_per_chunk
 
 
 class IndicesSampler:

@@ -1,0 +1,5 @@
+from .callbacks import *
+from .logger import *
+from .generate import *
+from .train_loops import *
+from .beta_scheduler import *

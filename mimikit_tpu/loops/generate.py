@@ -1,0 +1,301 @@
+"""Autoregressive generation loops.
+
+Rebuild of ``/root/reference/mimikit/loops/generate.py``.  The reference's
+hot loop runs ONE PYTHON ITERATION PER AUDIO SAMPLE (``generate.py:207-219``);
+here, networks exposing a fast decoder (``net.generate`` — a jitted
+``lax.scan``) run the whole decode on-device in a single dispatch, while the
+step-wise fallback preserves exact reference semantics for custom nets
+(including multi-step ``until`` outputs).
+"""
+from __future__ import annotations
+
+import dataclasses as dtc
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+from ..features.item_spec import Frame, ItemSpec, Sample, Second, convert
+from ..data.batch import Getter, Input, process_batch
+from ..data.samplers import IndicesSampler
+from .callbacks import tqdm
+from .logger import AudioLogger
+
+__all__ = [
+    "GenerateLoopV2",
+    "EncodeDecodeLoop",
+    "prepare_prompt",
+    "generate_tqdm",
+]
+
+
+def prepare_prompt(prompt, n_blanks: int, at_least_nd: int = 2):
+    def _prepare(p):
+        p = np.asarray(p)
+        while p.ndim < at_least_nd:
+            p = p[None]
+        if n_blanks > 0:
+            blanks = np.zeros((p.shape[0], n_blanks, *p.shape[2:]), p.dtype)
+            return np.concatenate((p, blanks), axis=1)
+        return p
+
+    return process_batch(
+        prompt, lambda x: isinstance(x, np.ndarray), _prepare
+    )
+
+
+def generate_tqdm(rng):
+    return tqdm(
+        rng, desc="Generate", dynamic_ncols=True, leave=False, unit="step",
+        mininterval=1.0,
+    )
+
+
+def _fill(x, prior_t: int, n_steps: int):
+    """[prompt | zeros]: pre-allocate the output buffer."""
+    x = np.asarray(x)
+    blanks = np.zeros((x.shape[0], n_steps, *x.shape[2:]), x.dtype)
+    return np.concatenate([x, blanks], axis=1)
+
+
+class PromptIndices(Input):
+    """Pseudo-input yielding the drawn prompt index itself."""
+
+    def __init__(self, n: int):
+        super().__init__(data=None, getter=Getter(n=n))
+
+    def __call__(self, item, file=None, **kwargs):
+        return np.array([item], dtype=np.int32)
+
+
+class GenerateLoopV2:
+    @dtc.dataclass
+    class Config(Config):
+        output_duration_sec: float = 1.0
+        prompts_length_sec: float = 1.0
+        prompts_position_sec: Tuple[Optional[float], ...] = (None,)
+        parameters: Optional[Dict[str, Any]] = None
+        batch_size: int = 1
+        downsampling: int = 1
+
+        output_name_template: Optional[str] = None
+        display_waveform: bool = True
+        write_waveform: bool = False
+        yield_inversed_outputs: bool = True
+        callback: Optional[Callable] = None
+
+    @classmethod
+    def get_n_steps(cls, config: "GenerateLoopV2.Config", network) -> int:
+        io_spec = network.config.io_spec
+        sr = io_spec.sr
+        unit = io_spec.unit
+        output_n_samples = int(sr * config.output_duration_sec)
+        if isinstance(unit, Frame):
+            return convert(output_n_samples, Sample(1), unit, as_length=True) + 1
+        return output_n_samples
+
+    @classmethod
+    def get_dataloader(cls, config, dataset, network):
+        io_spec = network.config.io_spec
+        sr = io_spec.sr
+        prompt_n_samples = int(sr * config.prompts_length_sec)
+        max_i = dataset.signal.shape[0] - prompt_n_samples
+        prompt_spec = ItemSpec(0, length=config.prompts_length_sec, unit=Second(sr))
+        prompt_batch, _ = network.test_batch(prompt_spec)
+        prompt_batch = (PromptIndices(n=max_i), *prompt_batch)
+        indices = tuple(
+            int(x * sr) if x is not None else x
+            for x in config.prompts_position_sec
+        )
+        return dataset.serve(
+            prompt_batch,
+            sampler=IndicesSampler(
+                N=len(indices),
+                indices=indices,
+                max_i=max_i,
+                redraw=True,
+                sampling_stride=config.downsampling,
+            ),
+            shuffle=False,
+            batch_size=config.batch_size,
+        )
+
+    @classmethod
+    def from_config(cls, config: "GenerateLoopV2.Config", dataset, network):
+        n_steps = cls.get_n_steps(config, network)
+        dataloader = cls.get_dataloader(config, dataset, network)
+        logger = AudioLogger(
+            sr=network.config.io_spec.sr,
+            file_template=(
+                config.output_name_template if config.write_waveform else None
+            ),
+            title_template=(
+                config.output_name_template if config.display_waveform else None
+            ),
+        )
+        return cls(config, network, n_steps, dataloader, logger)
+
+    def __init__(self, config, network, n_steps, dataloader, logger=None):
+        self.config = config
+        self.network = network
+        self.n_steps = n_steps
+        self.dataloader = dataloader
+        self.logger = logger
+        self.template_vars = {}
+        self._was_training = False
+
+    def setup(self):
+        self._was_training = getattr(self.network, "training", False)
+        if hasattr(self.network, "eval"):
+            self.network.eval()
+
+    def teardown(self):
+        if self._was_training and hasattr(self.network, "train"):
+            self.network.train()
+
+    def _gather_params(self) -> dict:
+        params = self.config.parameters or {}
+        return {
+            k: v for k, v in params.items() if k in self.network.generate_params
+        }
+
+    def run(self):
+        self.setup()
+        for batch in self.dataloader:
+            prompt_idx, batch = batch[0], batch[1:]
+            prompt_idx = np.asarray(prompt_idx).reshape(-1)
+            params = self._gather_params()
+
+            if hasattr(self.network, "generate"):
+                # fast path: whole decode as one on-device scan
+                final_outputs = tuple(
+                    np.asarray(b)
+                    for b in self.network.generate(
+                        batch,
+                        self.n_steps,
+                        temperature=params.get("temperature", None),
+                    )
+                )
+            else:
+                final_outputs = self._stepwise(batch, prompt_idx, params)
+
+            outputs = self.process_outputs(
+                final_outputs, prompt_idx, **self.template_vars
+            )
+            yield outputs
+            if self.config.callback is not None:
+                self.config.callback(outputs)
+        self.teardown()
+
+    def _stepwise(self, batch, prompt_idx, params):
+        """Reference-semantics per-step loop (supports ``until`` multi-step
+        outputs and arbitrary ARM implementations)."""
+        net = self.network
+        net.before_generate(batch, prompt_idx)
+        rf, prior_t, n_steps = net.rf, np.shape(batch[0])[1], self.n_steps
+        tensors = [np.asarray(_fill(x, prior_t, n_steps)) for x in batch]
+        until = 0
+        for t in generate_tqdm(range(prior_t, prior_t + n_steps)):
+            if t < until:
+                continue
+            inputs = tuple(tensor[:, t - rf : t] for tensor in tensors)
+            outputs = net.generate_step(inputs, t=t, **params)
+            if not isinstance(outputs, tuple):
+                outputs = (outputs,)
+            for tensor, out in zip(tensors, outputs):
+                if out is not None:
+                    out = np.asarray(out)
+                    if out.ndim < tensor[:, :1].ndim:
+                        out = out[:, None]
+                    n_out = min(out.shape[1], tensor.shape[1] - t)
+                    tensor[:, t : t + n_out] = out[:, :n_out]
+                    until = t + n_out
+        final_outputs = tuple(tensors)
+        net.after_generate(final_outputs, prompt_idx)
+        return final_outputs
+
+    def process_outputs(self, final_outputs, prompt_idx, **template_vars):
+        if (
+            self.logger is None
+            or (not self.config.write_waveform and not self.config.display_waveform)
+        ) and not self.config.yield_inversed_outputs:
+            return final_outputs
+        features = self.network.config.io_spec.targets
+        outputs = tuple(
+            np.asarray(feature.inv(out))
+            for feature, out in zip(features, final_outputs)
+        )
+        for output in outputs:
+            for example, idx in zip(output, prompt_idx):
+                if self.config.write_waveform:
+                    self.logger.write(example, prompt_idx=int(idx), **template_vars)
+                if self.config.display_waveform:
+                    self.logger.display(example, prompt_idx=int(idx), **template_vars)
+        return outputs if self.config.yield_inversed_outputs else final_outputs
+
+
+class EncodeDecodeLoop(GenerateLoopV2):
+    """Reconstruction loop for autoencoders: steps ``range(rf, prior_t, rf)``
+    re-encoding the prompt in place (reference ``generate.py:255-406``)."""
+
+    @dtc.dataclass
+    class Config(Config):
+        prompts_length_sec: float = 1.0
+        prompts_position_sec: Tuple[Optional[float], ...] = (None,)
+        parameters: Optional[Dict[str, Any]] = None
+        batch_size: int = 1
+        downsampling: int = 1
+
+        output_name_template: Optional[str] = None
+        display_waveform: bool = True
+        write_waveform: bool = False
+        yield_inversed_outputs: bool = True
+        callback: Optional[Callable] = None
+
+    @classmethod
+    def from_config(cls, config, dataset, network):
+        dataloader = cls.get_dataloader(config, dataset, network)
+        logger = AudioLogger(
+            sr=network.config.io_spec.sr,
+            file_template=(
+                config.output_name_template if config.write_waveform else None
+            ),
+            title_template=(
+                config.output_name_template if config.display_waveform else None
+            ),
+        )
+        return cls(config, network, 0, dataloader, logger)
+
+    def run(self):
+        self.setup()
+        for batch in self.dataloader:
+            prompt_idx, batch = batch[0], batch[1:]
+            prompt_idx = np.asarray(prompt_idx).reshape(-1)
+            params = self._gather_params()
+            net = self.network
+            net.before_generate(batch, prompt_idx)
+            rf, prior_t = net.rf, np.shape(batch[0])[1]
+            tensors = [np.array(x) for x in batch]
+            until = 0
+            for t in generate_tqdm(range(rf, prior_t, rf)):
+                if t < until:
+                    continue
+                inputs = tuple(tensor[:, t - rf : t] for tensor in tensors)
+                outputs = net.generate_step(inputs, t=t, **params)
+                if not isinstance(outputs, tuple):
+                    outputs = (outputs,)
+                for tensor, out in zip(tensors, outputs):
+                    if out is not None:
+                        out = np.asarray(out)
+                        n_out = min(out.shape[1], tensor.shape[1] - t)
+                        tensor[:, t - n_out : t] = out[:, :n_out]
+                        until = t + n_out
+            final_outputs = tuple(tensors)
+            net.after_generate(final_outputs, prompt_idx)
+            outputs = self.process_outputs(
+                final_outputs, prompt_idx, **self.template_vars
+            )
+            yield outputs
+            if self.config.callback is not None:
+                self.config.callback(outputs)
+        self.teardown()

@@ -1,0 +1,406 @@
+"""Training loop: jitted optax train step, TBPTT, checkpoints, monitoring.
+
+Rebuild of ``/root/reference/mimikit/loops/train_loops.py`` without
+pytorch-lightning: the loop drives its own epochs.  The hot path is a single
+jitted step — forward, loss, grads, Adam+OneCycle update — with the RNN
+hidden state threaded explicitly (TBPTT: carries persist across contiguous
+batches, reset at chunk boundaries, never back-propagated across steps).
+
+Data-parallel scaling: pass ``mesh`` (a 1-D ``jax.sharding.Mesh`` over a
+'data' axis) and the step is jitted with the batch sharded across devices and
+params replicated — XLA inserts the gradient all-reduce over ICI.
+"""
+from __future__ import annotations
+
+import dataclasses as dtc
+import hashlib
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..features.dataset import DatasetConfig
+from ..features.item_spec import ItemSpec
+from ..data.samplers import TBPTTSampler
+from .callbacks import GenerateCallback, MMKCheckpoint, tqdm
+from .logger import EpochMetrics
+from .generate import EncodeDecodeLoop, GenerateLoopV2
+
+__all__ = ["TrainARMConfig", "ARMHP", "TrainARMLoop"]
+
+
+@dtc.dataclass
+class TrainARMConfig(Config):
+    root_dir: str = "./trainings"
+    batch_size: int = 16
+    batch_length: int = 32
+    downsampling: int = 1
+    oversampling: int = 1
+    sampling_jitter: int = 0
+    shift_error: int = 0
+    tbptt_chunk_length: Optional[int] = None
+
+    max_epochs: int = 2
+    limit_train_batches: Optional[int] = None
+    max_lr: float = 5e-4
+    betas: Tuple[float, float] = (0.9, 0.93)
+    div_factor: float = 3.0
+    final_div_factor: float = 1.0
+    pct_start: float = 0.0
+    cycle_momentum: bool = False
+
+    CHECKPOINT_TRAINING: bool = True
+    MONITOR_TRAINING: bool = True
+    OUTPUT_TRAINING: str = ""
+
+    save_optimizer: bool = False
+    every_n_epochs: int = 2
+    n_examples: int = 3
+    prompt_length_sec: float = 0.5
+    outputs_duration_sec: float = 1.0
+    temperature: Optional[Tuple[float, ...]] = None
+    trainer_kwargs: Dict = dtc.field(default_factory=dict)
+
+
+@dtc.dataclass
+class ARMHP(Config):
+    dataset: DatasetConfig
+    network: object  # NetworkConfig (typed via its own tag)
+    training: TrainARMConfig
+
+
+class TrainARMLoop:
+    """Owns the dataloader, optimizer, jitted step, callbacks and run dirs."""
+
+    @classmethod
+    def get_os_paths(cls, cfg: ARMHP) -> Tuple[str, str, str]:
+        yaml_str = cfg.serialize()
+        hash_ = hashlib.sha256(yaml_str.encode("utf-8")).hexdigest()[:8]
+        root_dir = os.path.join(cfg.training.root_dir, hash_)
+        output_dir = os.path.join(root_dir, "outputs")
+        filename_template = os.path.join(
+            output_dir, "epoch{epoch}_prm{prompt_idx}.wav"
+        )
+        return root_dir, hash_, filename_template
+
+    @classmethod
+    def get_dataloader(cls, dataset, net, cfg: TrainARMConfig):
+        user_spec = ItemSpec(
+            shift=0,
+            length=cfg.batch_length,
+            stride=cfg.downsampling,
+            unit=net.config.io_spec.unit,
+        )
+        batch = net.train_batch(user_spec)
+        if cfg.tbptt_chunk_length is not None:
+            N = dataset.signal.shape[0]
+            loader_kwargs = dict(
+                batch_sampler=TBPTTSampler(
+                    N,
+                    batch_size=cfg.batch_size,
+                    chunk_length=cfg.tbptt_chunk_length,
+                    seq_len=cfg.batch_length,
+                    oversampling=cfg.oversampling,
+                )
+            )
+        else:
+            loader_kwargs = dict(batch_size=cfg.batch_size, shuffle=True)
+        return dataset.serve(batch, **loader_kwargs)
+
+    @classmethod
+    def get_optimizer(cls, net, dl, cfg: TrainARMConfig):
+        steps_per_epoch = (
+            min(len(dl), cfg.limit_train_batches)
+            if cfg.limit_train_batches is not None
+            else len(dl)
+        )
+        total_steps = max(2, steps_per_epoch * cfg.max_epochs)
+        # a zero-length warmup phase divides by zero inside optax's schedule
+        # (the reference's torch OneCycleLR tolerates pct_start=0) — floor the
+        # warmup at one step
+        pct_start = max(cfg.pct_start, 1.0 / total_steps + 1e-9)
+        schedule = optax.cosine_onecycle_schedule(
+            transition_steps=total_steps,
+            peak_value=cfg.max_lr,
+            pct_start=pct_start,
+            div_factor=cfg.div_factor,
+            final_div_factor=cfg.final_div_factor,
+        )
+        tx = optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1])
+        return tx
+
+    @classmethod
+    def from_config(cls, train_cfg: TrainARMConfig, dataset, network, opt=None):
+        dataloader = cls.get_dataloader(dataset, network, train_cfg)
+        ds_cfg = (
+            dataset.config
+            if getattr(dataset, "config", None) is not None
+            else DatasetConfig(filename=dataset.filename, sources=tuple(dataset.index))
+        )
+        hp = ARMHP(training=train_cfg, network=network.config, dataset=ds_cfg)
+        return cls(hp, dataset, dataloader, network, network.config.io_spec.loss_fn, opt)
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint) -> "TrainARMLoop":
+        dataset, network = checkpoint.dataset, checkpoint.network
+        train_cfg = checkpoint.training_config
+        dataloader = cls.get_dataloader(dataset, network, train_cfg)
+        loop = cls(
+            ARMHP(
+                training=train_cfg,
+                network=network.config,
+                dataset=checkpoint.dataset_config,
+            ),
+            dataset,
+            dataloader,
+            network,
+            network.config.io_spec.loss_fn,
+        )
+        loop._restored_opt_state = checkpoint.optimizer_state
+        ts = checkpoint.trainer_state
+        if ts is not None:
+            loop.start_epoch = int(ts["fit_loop"]["epoch"])
+            loop.global_step = int(ts["fit_loop"].get("global_step", 0))
+        return loop
+
+    def __init__(self, hp: ARMHP, dataset, loader, net, loss_fn, opt=None, mesh=None):
+        self._config = hp
+        self.train_cfg = hp.training
+        self.root_dir, self.hash_, self.output_template = self.get_os_paths(hp)
+        self.dataset = dataset
+        self.loader = loader
+        self.loss_fn = loss_fn
+        self.net = net
+        self.mesh = mesh
+        self.tbptt_len = self.train_cfg.tbptt_chunk_length
+        if self.tbptt_len is not None:
+            self.tbptt_len //= self.train_cfg.batch_length
+        self.opt = opt
+        self.opt_state = None
+        self.global_step = 0
+        self.start_epoch = 0
+        self.metrics = EpochMetrics()
+        self._restored_opt_state = None
+        self._step_fn = None
+        self.callbacks = self.get_callbacks(
+            net, dataset, self.root_dir, self.output_template, self.train_cfg
+        )
+
+    @property
+    def config(self) -> ARMHP:
+        return self._config
+
+    @classmethod
+    def get_callbacks(cls, net, dataset, root_dir, filename_template, cfg):
+        callbacks = []
+        if cfg.CHECKPOINT_TRAINING:
+            callbacks.append(
+                MMKCheckpoint(epochs=cfg.every_n_epochs, root_dir=root_dir)
+            )
+        if cfg.MONITOR_TRAINING or cfg.OUTPUT_TRAINING:
+            from ..networks.arm import ARM
+
+            if isinstance(net, ARM):
+                gen_loop = GenerateLoopV2.from_config(
+                    GenerateLoopV2.Config(
+                        output_duration_sec=cfg.outputs_duration_sec,
+                        prompts_length_sec=cfg.prompt_length_sec,
+                        prompts_position_sec=(None,) * cfg.n_examples,
+                        parameters=dict(temperature=cfg.temperature),
+                        batch_size=cfg.n_examples,
+                        downsampling=cfg.downsampling,
+                        output_name_template=filename_template,
+                        display_waveform=cfg.MONITOR_TRAINING,
+                        write_waveform=bool(cfg.OUTPUT_TRAINING),
+                    ),
+                    dataset=dataset,
+                    network=net,
+                )
+            else:
+                gen_loop = EncodeDecodeLoop.from_config(
+                    EncodeDecodeLoop.Config(
+                        prompts_length_sec=max(
+                            cfg.prompt_length_sec, cfg.outputs_duration_sec
+                        ),
+                        prompts_position_sec=(None,) * cfg.n_examples,
+                        parameters=dict(temperature=cfg.temperature),
+                        batch_size=cfg.n_examples,
+                        downsampling=cfg.downsampling,
+                        output_name_template=filename_template,
+                        display_waveform=cfg.MONITOR_TRAINING,
+                        write_waveform=bool(cfg.OUTPUT_TRAINING),
+                    ),
+                    dataset=dataset,
+                    network=net,
+                )
+            callbacks.append(
+                GenerateCallback(
+                    generate_loop=gen_loop, every_n_epochs=cfg.every_n_epochs
+                )
+            )
+        return callbacks
+
+    # -- the jitted step ----------------------------------------------------
+    def _build_step(self):
+        module = self.net.module
+        loss_fn = self.loss_fn
+        tx = self.opt
+
+        def step(params, opt_state, hidden, inputs, targets, rng):
+            def compute_loss(p):
+                outputs, new_hidden = module.apply(
+                    {"params": p},
+                    inputs,
+                    hidden,
+                    True,
+                    rngs={"dropout": rng, "sample": rng},
+                )
+                d = loss_fn(outputs, targets)
+                return d["loss"], (d, new_hidden)
+
+            (loss, (d, new_hidden)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, new_hidden, d
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+            self._step_fn = jax.jit(
+                step,
+                in_shardings=(repl, repl, repl, data, data, repl),
+                out_shardings=(repl, repl, repl, repl),
+            )
+        else:
+            self._step_fn = jax.jit(step, donate_argnums=(0, 1))
+
+    def _prepare_batch(self, batch):
+        (inputs, targets) = batch
+        inputs = tuple(jnp.asarray(x) for x in inputs)
+        targets = tuple(jnp.asarray(x) for x in targets)
+        return inputs, targets
+
+    def run(self) -> "TrainARMLoop":
+        os.makedirs(self.root_dir, exist_ok=True)
+        os.makedirs(os.path.join(self.root_dir, "outputs"), exist_ok=True)
+        self.save_hp()
+        print("*" * 64)
+        print("training's id is:", self.hash_)
+        print("*" * 64)
+
+        cfg = self.train_cfg
+        # initialize params lazily from the first batch
+        first_batch = next(iter(self.loader))
+        inputs, targets = self._prepare_batch(first_batch)
+        if self.net.params is None:
+            self.net._ensure_params(inputs)
+        if self.opt is None:
+            self.opt = self.get_optimizer(self.net, self.loader, cfg)
+        self.opt_state = (
+            self._restored_opt_state
+            if self._restored_opt_state is not None
+            else self.opt.init(self.net.params)
+        )
+        self._build_step()
+
+        for cb in self.callbacks:
+            if hasattr(cb, "on_fit_start"):
+                cb.on_fit_start(self)
+        self.metrics.on_fit_start()
+
+        params = self.net.params
+        hidden = None
+        interrupted = False
+        epoch = self.start_epoch
+        try:
+            for epoch in range(self.start_epoch + 1, cfg.max_epochs + 1):
+                self.metrics.on_epoch_start()
+                bar = tqdm(
+                    self.loader,
+                    total=len(self.loader),
+                    desc=f"Epoch {epoch}",
+                    leave=False,
+                    mininterval=1.0,
+                )
+                for batch_idx, batch in enumerate(bar):
+                    if (
+                        cfg.limit_train_batches is not None
+                        and batch_idx >= cfg.limit_train_batches
+                    ):
+                        break
+                    if self.tbptt_len is not None and (
+                        batch_idx % self.tbptt_len
+                    ) == 0:
+                        hidden = None
+                    inputs, targets = self._prepare_batch(batch)
+                    if hidden is None:
+                        # steady-state jit caches one (hidden != None) shape:
+                        # materialize zeros instead of the None pytree
+                        hidden = self._zero_hidden(inputs)
+                    params, self.opt_state, hidden, d = self._step_fn(
+                        params, self.opt_state, hidden, inputs, targets,
+                        self.net.next_rng(),
+                    )
+                    self.global_step += 1
+                    loss_val = float(d["loss"])
+                    self.metrics.check_loss(loss_val)
+                    self.metrics.log_output(d)
+                self.net.params = params
+                self.metrics.flush_epoch(epoch)
+                for cb in self.callbacks:
+                    if isinstance(cb, MMKCheckpoint):
+                        cb.on_train_epoch_end(self, epoch, self.global_step)
+                    elif isinstance(cb, GenerateCallback):
+                        self.net.params = params
+                        cb.on_train_epoch_end(self, epoch)
+                # user-overridable hook (runs after callbacks, like the
+                # reference's LightningModule hook ordering)
+                self.on_train_epoch_end(epoch)
+        except KeyboardInterrupt:
+            interrupted = True
+        finally:
+            self.net.params = params
+            if interrupted:
+                for cb in self.callbacks:
+                    if isinstance(cb, MMKCheckpoint):
+                        cb.on_train_epoch_end(
+                            self, epoch, self.global_step, interrupted=True
+                        )
+        self.metrics.on_fit_end()
+        self.dataset.close()
+        return self
+
+    def _zero_hidden(self, inputs):
+        """Initial hidden carry matching the module's structure."""
+        module = self.net.module
+        variables = jax.eval_shape(
+            lambda: module.apply(
+                {"params": self.net.params}, inputs, None, False,
+                rngs={
+                    "dropout": jax.random.PRNGKey(0),
+                    "sample": jax.random.PRNGKey(0),
+                },
+            )
+        )
+        _, hidden_shape = variables
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), hidden_shape
+        )
+
+    def on_train_epoch_end(self, *args):
+        """Overridable per-epoch hook (tests monkeypatch this)."""
+
+    def teardown(self, stage: str = "fit"):
+        """API parity no-op (the loop owns no external resources)."""
+
+    def save_hp(self):
+        with open(os.path.join(self.root_dir, "hp.yaml"), "w") as fp:
+            fp.write(self.config.serialize())

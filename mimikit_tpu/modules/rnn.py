@@ -1,0 +1,156 @@
+"""Recurrent stacks with explicit carried state.
+
+The reference relies on cuDNN LSTM modules with hidden state stored on the
+module (``sample_rnn_v2.py:92-116``).  TPU-native equivalent: stateless
+flax cells scanned over time with ``lax.scan`` (XLA compiles one fused loop),
+with the carry threaded explicitly — the train loop owns it (TBPTT), the
+decode loop scans it one step at a time via :meth:`RNNStack.step`.
+
+Carry layout: tuple over layers; LSTM carries are ``(c, h)`` tuples of
+``(B, H)`` arrays, GRU/RNN carries are ``(B, H)`` arrays.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["RNNStack", "LSTMStack", "init_rnn_carry"]
+
+
+def _make_cell(cell_type: str, hidden_dim: int, name: str):
+    if cell_type == "lstm":
+        return nn.OptimizedLSTMCell(features=hidden_dim, name=name)
+    if cell_type == "gru":
+        return nn.GRUCell(features=hidden_dim, name=name)
+    if cell_type == "rnn":
+        return nn.SimpleCell(features=hidden_dim, name=name)
+    raise ValueError(f"unknown rnn cell type '{cell_type}'")
+
+
+def init_rnn_carry(
+    cell_type: str,
+    n_layers: int,
+    batch_size: int,
+    hidden_dim: int,
+    init: str = "zeros",
+    rng: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+):
+    """Build an initial carry: 'zeros' | 'ones' | 'randn'
+    (the reference's ``h0_init``, ``sample_rnn_v2.py:118-119``)."""
+
+    def one(key):
+        shape = (batch_size, hidden_dim)
+        if init == "zeros":
+            return jnp.zeros(shape, dtype)
+        if init == "ones":
+            return jnp.ones(shape, dtype)
+        if init == "randn":
+            assert rng is not None, "randn h0 needs an rng"
+            return jax.random.normal(key, shape, dtype)
+        raise ValueError(init)
+
+    keys = (
+        list(jax.random.split(rng, 2 * n_layers))
+        if rng is not None
+        else [None] * (2 * n_layers)
+    )
+    carries = []
+    for i in range(n_layers):
+        if cell_type == "lstm":
+            carries.append((one(keys[2 * i]), one(keys[2 * i + 1])))
+        else:
+            carries.append(one(keys[2 * i]))
+    return tuple(carries)
+
+
+class RNNStack(nn.Module):
+    """Stacked LSTM/GRU/RNN over (B, T, D) with explicit carry.
+
+    ``__call__`` runs the whole sequence; ``step`` advances one timestep with
+    the same parameters — the decode path's building block.  Parameters are
+    created by a single-step trace at init so both paths share them.
+    """
+
+    hidden_dim: int
+    n_layers: int = 1
+    cell_type: str = "lstm"
+    dropout: float = 0.0
+
+    def setup(self):
+        self.cells = [
+            _make_cell(self.cell_type, self.hidden_dim, f"l{i}")
+            for i in range(self.n_layers)
+        ]
+
+    def default_carry(self, batch_size, dtype=jnp.float32):
+        return init_rnn_carry(
+            self.cell_type, self.n_layers, batch_size, self.hidden_dim,
+            "zeros", dtype=dtype,
+        )
+
+    def step(self, x_t, carry):
+        """x_t: (B, D) one timestep; returns (y_t, new_carry)."""
+        new_carry = []
+        y = x_t
+        for i, cell in enumerate(self.cells):
+            c, y = cell(carry[i], y)
+            new_carry.append(c)
+        return y, tuple(new_carry)
+
+    def __call__(self, x, carry=None, train: bool = False):
+        B, T, _ = x.shape
+        if carry is None:
+            carry = self.default_carry(B, x.dtype)
+        if self.is_initializing():
+            # create cell params with one step; shapes of the full output are
+            # known statically so a dummy suffices during init
+            _y, _c = self.step(x[:, 0], carry)
+            return (
+                jnp.zeros((B, T, self.hidden_dim), x.dtype),
+                carry,
+            )
+
+        def body(c, x_t):
+            y_t, c2 = self.step(x_t, c)
+            return c2, y_t
+
+        xs = jnp.swapaxes(x, 0, 1)  # (T, B, D)
+        final, ys = jax.lax.scan(body, tuple(carry), xs)
+        y = jnp.swapaxes(ys, 0, 1)
+        if train and self.dropout > 0:
+            # functional dropout (submodules can't be created outside setup)
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout, y.shape
+            )
+            y = jnp.where(keep, y / (1.0 - self.dropout), 0.0)
+        return y, final
+
+
+class LSTMStack(nn.Module):
+    """LSTM stack with optional bidirectionality (concat of directions)."""
+
+    hidden_dim: int
+    n_layers: int = 1
+    bidirectional: bool = False
+    dropout: float = 0.0
+
+    def setup(self):
+        self.fwd = RNNStack(
+            self.hidden_dim, self.n_layers, "lstm", self.dropout, name="fwd"
+        )
+        if self.bidirectional:
+            self.bwd = RNNStack(
+                self.hidden_dim, self.n_layers, "lstm", self.dropout, name="bwd"
+            )
+
+    def __call__(self, x, carry=None, train: bool = False):
+        y_f, c_f = self.fwd(x, carry[0] if carry else None, train)
+        if not self.bidirectional:
+            return y_f, (c_f,)
+        y_b, c_b = self.bwd(jnp.flip(x, axis=1), carry[1] if carry else None, train)
+        y_b = jnp.flip(y_b, axis=1)
+        return jnp.concatenate([y_f, y_b], axis=-1), (c_f, c_b)

@@ -1,0 +1,506 @@
+"""SampleRNN: tiered recurrent autoregressive audio model, TPU-native.
+
+Rebuild of ``/root/reference/mimikit/networks/sample_rnn_v2.py``.  The tier
+hierarchy (coarse frame RNNs conditioning finer ones down to a per-sample
+MLP) is preserved; the implementation is a pure flax core with explicit
+hidden-state carries.  Decoding runs as a single jitted ``lax.scan`` over
+time — tier ``i`` updates only when ``t % frame_sizes[i] == 0`` via
+``lax.cond`` (the reference's per-tier step caching,
+``sample_rnn_v2.py:236-260``) — instead of one Python iteration per audio
+sample.
+"""
+from __future__ import annotations
+
+import dataclasses as dtc
+from enum import auto
+from functools import partial
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import AutoStrEnum
+from ..features.item_spec import ItemSpec
+from ..features.functionals import Discrete
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # avoid circular import at package init
+    from ..io_spec import IOSpec
+from ..modules.io import (
+    EmbeddingConv1d,
+    FramedConv1dIO,
+    FramedLinearIO,
+    ZipReduceVariables,
+)
+from ..modules.resamplers import LinearResampler
+from ..modules.rnn import RNNStack, init_rnn_carry
+from .arm import ARMWithHidden, NetworkConfig
+
+__all__ = ["SampleRNN", "SampleRNNCore"]
+
+
+class RNNType(AutoStrEnum):
+    lstm = auto()
+    rnn = auto()
+    gru = auto()
+    none = auto()
+
+
+class H0Init(AutoStrEnum):
+    zeros = auto()
+    ones = auto()
+    randn = auto()
+
+
+class SampleRNNCore(nn.Module):
+    """Pure functional core; tier modules are built by ``SampleRNN.from_config``."""
+
+    frame_sizes: Tuple[int, ...]
+    hidden_dim: int
+    rnn_class: str
+    n_rnn: int
+    rnn_dropout: float
+    up_factors: Tuple[int, ...]
+    tier_inputs: Tuple[nn.Module, ...]  # ZipReduceVariables per tier
+    outputs: Tuple[nn.Module, ...]
+
+    @property
+    def has_rnn(self) -> bool:
+        return str(self.rnn_class) != "none"
+
+    def setup(self):
+        if self.has_rnn:
+            self.rnns = [
+                RNNStack(
+                    self.hidden_dim,
+                    self.n_rnn,
+                    str(self.rnn_class),
+                    self.rnn_dropout,
+                    name=f"rnn_t{i}",
+                )
+                for i in range(len(self.frame_sizes) - 1)
+            ]
+        self.upsamplers = [
+            LinearResampler(self.hidden_dim, t_factor=up, d_factor=1, name=f"up_t{i}")
+            for i, up in enumerate(self.up_factors)
+        ]
+
+    # -- training forward ---------------------------------------------------
+    def __call__(self, inputs: Tuple, hidden=None, train: bool = False):
+        """inputs: tuple of (B, fs0 + T) arrays.  Returns (outputs, hidden).
+
+        Tier windows follow the reference's ``fs0-fs : -fs`` offsets
+        (``sample_rnn_v2.py:211-224``).
+        """
+        fs = self.frame_sizes
+        fs0 = fs[0]
+        prev = None
+        new_hidden = []
+        for i, f in enumerate(fs[:-1]):
+            tier_in = tuple(x[:, fs0 - f : x.shape[1] - f] for x in inputs)
+            x = self.tier_inputs[i](tier_in, train=train)  # (B, n_frames, H)
+            if prev is not None:
+                x = x + prev
+            if self.has_rnn:
+                h_i = hidden[i] if hidden is not None else None
+                x, h = self.rnns[i](x, h_i, train=train)
+                new_hidden.append(h)
+            x = self.upsamplers[i](x)
+            prev = x
+        f = fs[-1]
+        # :-1 end offset is deliberate (bottom tier predicts the next sample)
+        tier_in = tuple(x[:, fs0 - f : x.shape[1] - 1] for x in inputs)
+        x = self.tier_inputs[-1](tier_in, train=train)
+        if prev is not None:
+            x = x + prev
+        outputs = tuple(mod(x, train=train) for mod in self.outputs)
+        return outputs, tuple(new_hidden)
+
+    # -- single AR step (used under lax.scan and by the parity API) --------
+    def decode_step(
+        self,
+        t,
+        win: Tuple,
+        hidden,
+        tier_out,
+        temperature=None,
+    ):
+        """One sample step at absolute position ``t``.
+
+        win: tuple of (B, rf) input windows ending at t (exclusive).
+        tier_out: tuple over non-bottom tiers of (B, up_i, H) cached upsampled
+        outputs.  Returns (sampled outputs, new_hidden, new_tier_out).
+        """
+        fs = self.frame_sizes
+        rf = fs[0]
+        n = len(fs)
+        new_hidden = list(hidden) if self.has_rnn else []
+        new_tier_out = list(tier_out)
+
+        for i in range(n - 1):
+            f = fs[i]
+
+            def update(hid_i, prev_cache, i=i, f=f):
+                inpt = tuple(w[:, rf - f :] for w in win)
+                x = self.tier_inputs[i](inpt)  # (B, 1, H)
+                if i > 0:
+                    up_prev = self.up_factors[i - 1]
+                    idx = (t // f) % up_prev
+                    prev = jax.lax.dynamic_index_in_dim(
+                        new_tier_out[i - 1], idx, axis=1, keepdims=True
+                    )
+                    x = x + prev
+                if self.has_rnn:
+                    y, h2 = self.rnns[i].step(x[:, 0], hid_i)
+                else:
+                    y, h2 = x[:, 0], hid_i
+                out = self.upsamplers[i](y[:, None, :])  # (B, up_i, H)
+                return h2, out
+
+            def keep(hid_i, prev_cache, i=i):
+                return hid_i, prev_cache
+
+            hid_i = hidden[i] if self.has_rnn else None
+            h2, out = jax.lax.cond(
+                (t % f) == 0, update, keep, hid_i, new_tier_out[i]
+            )
+            if self.has_rnn:
+                new_hidden[i] = h2
+            new_tier_out[i] = out
+
+        f = fs[-1]
+        inpt = tuple(w[:, rf - f :] for w in win)
+        x = self.tier_inputs[-1](inpt)  # (B, 1, H)
+        idx = t % fs[-2] if n >= 2 else 0
+        prev = jax.lax.dynamic_index_in_dim(
+            new_tier_out[-1], idx, axis=1, keepdims=True
+        )
+        x = x + prev
+        outs = tuple(
+            mod(x, train=False, temperature=temperature) for mod in self.outputs
+        )
+        return outs, tuple(new_hidden), tuple(new_tier_out)
+
+
+class SampleRNN(ARMWithHidden):
+    @dtc.dataclass
+    class Config(NetworkConfig):
+        frame_sizes: Tuple[int, ...] = (16, 8, 8)
+        hidden_dim: int = 256
+        rnn_class: str = "lstm"
+        n_rnn: int = 1
+        rnn_dropout: float = 0.0
+        rnn_bias: bool = True
+        h0_init: str = "zeros"
+        weight_norm: bool = False
+        inputs_mode: str = "sum"
+        io_spec: "IOSpec" = None
+
+    @classmethod
+    def from_config(cls, config: "SampleRNN.Config") -> "SampleRNN":
+        h = config.hidden_dim
+        fs = config.frame_sizes
+        tier_inputs = []
+        up_factors = []
+        for i, f in enumerate(fs[:-1]):
+            mods = tuple(
+                in_spec.module.copy()
+                .set(frame_size=f, hop_length=f, out_dim=h)
+                .module()
+                for in_spec in config.io_spec.inputs
+            )
+            tier_inputs.append(
+                ZipReduceVariables(mode=str(config.inputs_mode), heads=mods)
+            )
+            up_factors.append(f // (fs[i + 1] if i < len(fs) - 2 else 1))
+        # bottom tier: per-sample framed conv inputs
+        mods = []
+        for in_spec in config.io_spec.inputs:
+            if isinstance(in_spec.elem_type, Discrete):
+                params = dict(class_size=in_spec.elem_type.size)
+                module_type = (
+                    FramedConv1dIO
+                    if isinstance(in_spec.module, FramedLinearIO)
+                    else EmbeddingConv1d
+                )
+            else:
+                params = dict()
+                module_type = FramedConv1dIO
+            mods.append(
+                module_type()
+                .set(**params, frame_size=fs[-1], hop_length=1, out_dim=h)
+                .module()
+            )
+        tier_inputs.append(
+            ZipReduceVariables(mode=str(config.inputs_mode), heads=tuple(mods))
+        )
+        outputs = tuple(
+            t_spec.module.copy().set(in_dim=h).module()
+            for t_spec in config.io_spec.targets
+        )
+        core = SampleRNNCore(
+            frame_sizes=fs,
+            hidden_dim=h,
+            rnn_class=str(config.rnn_class),
+            n_rnn=config.n_rnn,
+            rnn_dropout=config.rnn_dropout,
+            up_factors=tuple(up_factors),
+            tier_inputs=tuple(tier_inputs),
+            outputs=outputs,
+        )
+        return cls(config=config, core=core)
+
+    def __init__(self, *, config: "SampleRNN.Config", core: SampleRNNCore):
+        self._config = config
+        self.module = core
+        self.frame_sizes = config.frame_sizes
+        self.params = None
+        self.hidden = None  # carried TBPTT state (train path)
+        self.training = True  # reference nets are mode-ful; loops toggle this
+        self._apply_train = None
+        self._decoders = {}
+        # inference caches (parity API)
+        self.outputs_cache: List = []
+        self.gen_hidden = None
+        self.prompt_length = 0
+
+    # -- parameter init -----------------------------------------------------
+    def init_params(self, batch_size: int = 1, batch_length: int = 64, rng=None):
+        if rng is None:
+            rng = self.next_rng()
+        T = self.rf + batch_length
+        dummy = tuple(
+            self._dummy_input(spec, batch_size, T)
+            for spec in self.config.io_spec.inputs
+        )
+        variables = self.module.init(
+            {"params": rng, "dropout": rng, "sample": rng}, dummy, None, False
+        )
+        self.params = variables["params"]
+        return self.params
+
+    @staticmethod
+    def _dummy_input(spec, B, T):
+        from ..features.functionals import Discrete as _D
+
+        if isinstance(spec.elem_type, _D):
+            return jnp.zeros((B, T), jnp.int32)
+        return jnp.zeros((B, T, spec.elem_type.size), jnp.float32)
+
+    def _ensure_params(self, inputs):
+        if self.params is None:
+            B, T = np.shape(inputs[0])[0], np.shape(inputs[0])[1]
+            self.init_params(batch_size=B, batch_length=T - self.rf)
+
+    # -- training forward (stateful wrapper over the pure core) -------------
+    def forward(self, inputs: Tuple):
+        inputs = tuple(jnp.asarray(x) for x in inputs)
+        self._ensure_params(inputs)
+        if self._apply_train is None:
+            self._apply_train = jax.jit(
+                lambda p, xs, h, k, train: self.module.apply(
+                    {"params": p}, xs, h, train,
+                    rngs={"dropout": k, "sample": k},
+                ),
+                static_argnums=(4,),
+            )
+        outputs, self.hidden = self._apply_train(
+            self.params, inputs, self.hidden, self.next_rng(), self.training
+        )
+        return outputs
+
+    def train(self):
+        self.training = True
+        return self
+
+    def eval(self):
+        self.training = False
+        return self
+
+    def reset_hidden(self) -> None:
+        self.hidden = None
+
+    @property
+    def config(self) -> "SampleRNN.Config":
+        return self._config
+
+    @property
+    def rf(self):
+        return self.frame_sizes[0]
+
+    # -- batch specs (identical ItemSpec arithmetic to the reference,
+    #    ``sample_rnn_v2.py:278-307``) --------------------------------------
+    def train_batch(self, item_spec: ItemSpec):
+        return tuple(
+            spec.to_batch_item(
+                ItemSpec(shift=0, length=self.frame_sizes[0], unit=spec.unit)
+                + item_spec
+            )
+            for spec in self.config.io_spec.inputs
+        ), tuple(
+            spec.to_batch_item(
+                ItemSpec(shift=self.frame_sizes[0], unit=spec.unit) + item_spec
+            )
+            for spec in self.config.io_spec.targets
+        )
+
+    def test_batch(self, item_spec: ItemSpec):
+        return tuple(
+            spec.to_batch_item(item_spec.to(spec.unit))
+            for spec in self.config.io_spec.inputs
+        ), tuple(
+            spec.to_batch_item(
+                ItemSpec(
+                    shift=self.frame_sizes[0],
+                    length=-self.frame_sizes[0],
+                    unit=spec.unit,
+                )
+                + item_spec
+            )
+            for spec in self.config.io_spec.targets
+        )
+
+    @property
+    def generate_params(self):
+        out = set()
+        for t_spec in self.config.io_spec.targets:
+            sampler = t_spec.objective.get_sampler()
+            out |= set(getattr(sampler, "sampling_params", ()) or ())
+        return out
+
+    # -- fast decode: one jitted lax.scan over time -------------------------
+    def _init_decode_state(self, batch_size: int):
+        fs = self.frame_sizes
+        h0 = str(self._config.h0_init)
+        hidden = tuple(
+            init_rnn_carry(
+                str(self._config.rnn_class),
+                self._config.n_rnn,
+                batch_size,
+                self._config.hidden_dim,
+                h0,
+                rng=self.next_rng() if h0 == "randn" else None,
+            )
+            for _ in fs[:-1]
+        ) if str(self._config.rnn_class) != "none" else tuple()
+        up = self.module.up_factors
+        tier_out = tuple(
+            jnp.zeros((batch_size, u, self._config.hidden_dim)) for u in up
+        )
+        return hidden, tier_out
+
+    def make_decoder(self, prior_t: int, n_steps: int):
+        """Build a jitted decode fn: (params, prompt_bufs, key, temperature)
+        -> filled buffers.  prompt_bufs: tuple of (B, prior_t + n_steps)."""
+        key_shape = (prior_t, n_steps)
+        if key_shape in self._decoders:
+            return self._decoders[key_shape]
+        core = self.module
+        rf = self.rf
+
+        def decode(params, bufs, key, temperature):
+            B = bufs[0].shape[0]
+            hidden, tier_out = self._init_decode_state(B)
+
+            def body(carry, t):
+                bufs, hidden, tier_out, key = carry
+                win = tuple(
+                    jax.lax.dynamic_slice_in_dim(b, t - rf, rf, axis=1)
+                    for b in bufs
+                )
+                key, sub = jax.random.split(key)
+                outs, hidden, tier_out = core.apply(
+                    {"params": params},
+                    t,
+                    win,
+                    hidden,
+                    tier_out,
+                    temperature,
+                    method=SampleRNNCore.decode_step,
+                    rngs={"sample": sub},
+                )
+                new_bufs = []
+                for b, o in zip(bufs, outs):
+                    o_t = o[:, 0].astype(b.dtype)
+                    # teacher-force while still inside the prompt
+                    cur = jax.lax.dynamic_slice_in_dim(b, t, 1, axis=1)[:, 0]
+                    val = jnp.where(t < prior_t, cur, o_t)
+                    new_bufs.append(
+                        jax.lax.dynamic_update_slice_in_dim(
+                            b, val[:, None], t, axis=1
+                        )
+                    )
+                return (tuple(new_bufs), hidden, tier_out, key), None
+
+            ts = jnp.arange(rf, prior_t + n_steps)
+            (bufs, *_), _ = jax.lax.scan(body, (bufs, hidden, tier_out, key), ts)
+            return bufs
+
+        fn = jax.jit(decode)
+        self._decoders[key_shape] = fn
+        return fn
+
+    def generate(self, prompts: Tuple, n_steps: int, temperature=None, rng=None):
+        """Decode ``n_steps`` new samples after each prompt.  Returns tuple of
+        (B, prior_t + n_steps) buffers (prompt + generation)."""
+        prompts = tuple(jnp.asarray(p) for p in prompts)
+        self._ensure_params(prompts)
+        B, prior_t = prompts[0].shape[0], prompts[0].shape[1]
+        bufs = tuple(
+            jnp.concatenate(
+                [p, jnp.zeros((B, n_steps) + p.shape[2:], p.dtype)], axis=1
+            )
+            for p in prompts
+        )
+        if rng is None:
+            rng = self.next_rng()
+        dec = self.make_decoder(prior_t, n_steps)
+        t_arg = temperature if temperature is not None else np.nan
+        # None temperature means argmax — handled statically per decoder
+        if temperature is None:
+            dec = self.make_decoder(prior_t, n_steps)
+            return dec(self.params, bufs, rng, None)
+        return dec(self.params, bufs, rng, jnp.asarray(t_arg, jnp.float32))
+
+    # -- step-wise parity API (reference semantics, used by tests/loops) ----
+    def before_generate(self, prompts: Tuple, batch_index: int) -> None:
+        B = np.shape(prompts[0])[0]
+        self._ensure_params(prompts)
+        self.gen_hidden, self.outputs_cache = self._init_decode_state(B)
+        self.outputs_cache = list(self.outputs_cache)
+        prompt_length = np.shape(prompts[0])[1]
+        offset = prompt_length % self.rf
+        self.prompt_length = prompt_length - offset
+        for t in range(self.rf, self.prompt_length):
+            self.generate_step(
+                tuple(p[:, t + offset - self.rf : t + offset] for p in prompts),
+                t=t,
+            )
+
+    def generate_step(self, inputs: Tuple, *, t: int = 0, **parameters):
+        inputs = tuple(jnp.asarray(x) for x in inputs)
+        temperature = parameters.get("temperature", None)
+        win = tuple(x[:, -self.rf :] for x in inputs)
+        outs, self.gen_hidden, new_cache = self.module.apply(
+            {"params": self.params},
+            t,
+            win,
+            self.gen_hidden,
+            tuple(self.outputs_cache),
+            temperature,
+            method=SampleRNNCore.decode_step,
+            rngs={"sample": self.next_rng()},
+        )
+        self.outputs_cache = list(new_cache)
+        if t < self.prompt_length:
+            return tuple()
+        # squeeze a trailing singleton only beyond 2 dims (reference
+        # ``sample_rnn_v2.py:260``): samples stay (B, 1)
+        return tuple(o[..., 0] if o.ndim > 2 else o for o in outs)
+
+    def after_generate(self, final_outputs: Tuple, batch_index: int) -> None:
+        self.outputs_cache = []
+        self.gen_hidden = None
+        self.prompt_length = 0

@@ -1,0 +1,110 @@
+"""TrainARMLoop integration: artifacts + interrupt/resume round trip
+(reference ``tests/test_train_loop.py``)."""
+import os
+
+import pytest
+
+import mimikit_tpu as mmk
+
+from .test_utils import TestARM, make_db_config
+
+
+def _make_net(extractor):
+    return TestARM(
+        TestARM.Config(
+            io_spec=mmk.IOSpec(
+                inputs=(
+                    mmk.InputSpec(
+                        extractor_name=extractor.name,
+                        transform=mmk.Normalize(),
+                        module=mmk.LinearIO(),
+                    ).bind_to(extractor),
+                ),
+                targets=(
+                    mmk.TargetSpec(
+                        extractor_name=extractor.name,
+                        transform=mmk.Normalize(),
+                        module=mmk.LinearIO(),
+                        objective=mmk.Objective("reconstruction"),
+                    ).bind_to(extractor),
+                ),
+            )
+        )
+    )
+
+
+def test_should_run(tmp_path):
+    ds_cfg = make_db_config(tmp_path, filename="train-loop.h5")
+    db = ds_cfg.create(mode="w")
+    net = _make_net(ds_cfg.extractors[0])
+    config = mmk.TrainARMConfig(
+        root_dir=str(tmp_path),
+        limit_train_batches=4,
+        max_epochs=4,
+        every_n_epochs=1,
+        CHECKPOINT_TRAINING=True,
+        MONITOR_TRAINING=False,
+        OUTPUT_TRAINING="wav",
+        prompt_length_sec=0.01,
+        outputs_duration_sec=0.01,
+        n_examples=2,
+    )
+    loop = mmk.TrainARMLoop.from_config(config, dataset=db, network=net)
+    loop.run()
+
+    content = os.listdir(os.path.join(str(tmp_path), loop.hash_))
+    for expected in ("hp.yaml", "outputs", "epoch=1.ckpt"):
+        assert expected in content
+    outputs = os.listdir(os.path.join(str(tmp_path), loop.hash_, "outputs"))
+    assert ".wav" in {os.path.splitext(o)[-1] for o in outputs}
+
+
+@pytest.mark.parametrize("save_optimizer", [True, False])
+def test_should_resume_from_checkpoint(tmp_path, save_optimizer):
+    ds_cfg = make_db_config(tmp_path, filename="train-loop.h5")
+    db = ds_cfg.create(mode="w")
+    net = _make_net(ds_cfg.extractors[0])
+    config = mmk.TrainARMConfig(
+        root_dir=str(tmp_path),
+        limit_train_batches=2,
+        max_epochs=2,
+        every_n_epochs=1,
+        save_optimizer=save_optimizer,
+        CHECKPOINT_TRAINING=True,
+        MONITOR_TRAINING=False,
+        OUTPUT_TRAINING="wav",
+        prompt_length_sec=0.01,
+        outputs_duration_sec=0.01,
+        n_examples=1,
+    )
+    loop = mmk.TrainARMLoop.from_config(config, dataset=db, network=net)
+
+    def on_epoch_end(*args):
+        raise KeyboardInterrupt()
+
+    loop.on_train_epoch_end = on_epoch_end
+    loop.run()
+    loop.teardown("fit")
+
+    content = os.listdir(os.path.join(str(tmp_path), loop.hash_))
+    must_contain = ["hp.yaml", "outputs", "epoch=1.ckpt"]
+    if save_optimizer:
+        must_contain += ["epoch=1.opt"]
+    for expected in must_contain:
+        assert expected in content
+
+    ckpt = mmk.Checkpoint(id=loop.hash_, epoch=1, root_dir=str(tmp_path))
+    if save_optimizer:
+        assert ckpt.optimizer_state is not None
+    assert ckpt.trainer_state is not None
+
+    ckpt_loop = mmk.TrainARMLoop.from_checkpoint(ckpt)
+    assert isinstance(ckpt_loop, mmk.TrainARMLoop)
+    ckpt_loop.run()
+
+    content = os.listdir(os.path.join(str(tmp_path), loop.hash_))
+    must_contain = ["epoch=2.ckpt"]
+    if save_optimizer:
+        must_contain += ["epoch=2.opt"]
+    for expected in must_contain:
+        assert expected in content

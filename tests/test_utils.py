@@ -61,6 +61,118 @@ class RandLabel(mmk.Functional):
         return mmk.Identity()
 
 
+class _TestCore:
+    """flax core for TestARM: one shared Dense(1) over each input."""
+
+    def __init__(self):
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        class Core(nn.Module):
+            @nn.compact
+            def __call__(self, inputs, hidden=None, train=False):
+                fc = nn.Dense(1)
+                outs = tuple(
+                    fc(x[..., None].astype(jnp.float32))[..., 0] for x in inputs
+                )
+                return outs, ()
+
+        self.core = Core()
+
+
+class TestARM(mmk.ARM):
+    """Minimal fake network implementing the full ARM contract
+    (reference ``tests/test_utils.py:64-123``): Dense in train mode,
+    echo-last-step in eval mode."""
+
+    @dtc.dataclass
+    class Config(mmk.NetworkConfig):
+        io_spec: mmk.IOSpec = None
+
+    @classmethod
+    def from_config(cls, config):
+        return cls(config)
+
+    def __init__(self, config):
+        self._config = config
+        self.module = _TestCore().core
+        self.params = None
+        self.training = True
+
+    @property
+    def config(self):
+        return self._config
+
+    @property
+    def rf(self):
+        return 8
+
+    def init_params(self, batch_size=1, batch_length=8, rng=None):
+        import jax.numpy as jnp
+
+        if rng is None:
+            rng = self.next_rng()
+        dummy = tuple(
+            jnp.zeros((batch_size, batch_length), jnp.float32)
+            for _ in self.config.io_spec.inputs
+        )
+        self.params = self.module.init(rng, dummy, None, False)["params"]
+        return self.params
+
+    def _ensure_params(self, inputs):
+        if self.params is None:
+            self.init_params(np.shape(inputs[0])[0], np.shape(inputs[0])[1])
+
+    def train(self):
+        self.training = True
+        return self
+
+    def eval(self):
+        self.training = False
+        return self
+
+    def forward(self, inputs):
+        import jax.numpy as jnp
+
+        if self.training:
+            self._ensure_params(inputs if isinstance(inputs, tuple) else (inputs,))
+            if isinstance(inputs, (tuple, list)):
+                outs, _ = self.module.apply(
+                    {"params": self.params}, tuple(jnp.asarray(x) for x in inputs)
+                )
+                return outs
+            outs, _ = self.module.apply(
+                {"params": self.params}, (jnp.asarray(inputs),)
+            )
+            return outs[0]
+        if isinstance(inputs, (tuple, list)):
+            return tuple(np.asarray(x)[:, -1:] for x in inputs)
+        return np.asarray(inputs)[:, -1:]
+
+    def train_batch(self, item_spec):
+        return tuple(
+            feat.to_batch_item(item_spec) for feat in self.config.io_spec.inputs
+        ), tuple(
+            feat.to_batch_item(item_spec) for feat in self.config.io_spec.targets
+        )
+
+    def test_batch(self, item_spec):
+        return self.train_batch(item_spec)
+
+    @property
+    def generate_params(self):
+        return set()
+
+    def before_generate(self, prompts, batch_index):
+        self._ensure_params(prompts)
+
+    def generate_step(self, inputs, *, t=0, **parameters):
+        return tuple(np.asarray(i)[:, -1:] for i in inputs)
+
+    def after_generate(self, final_outputs, batch_index):
+        return
+
+
 def make_db_config(tmp_path, sr=16000, n_samples=32000, filename="test.h5"):
     return mmk.DatasetConfig(
         sources=("0", "1"),
