@@ -1,0 +1,78 @@
+"""Headline benchmark: SampleRNN 3-tier autoregressive decode throughput.
+
+Runs on whatever backend jax resolves (the driver runs this on a real TPU
+chip).  Measures generated samples/sec/chip for the BASELINE.json flagship
+config (3-tier SampleRNN, mu-law 256, hidden 256) with a production-style
+batch of parallel streams (the reference's own chunked generator batches 64
+streams, ``loops/generate_chunks.py:16``).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
+baseline is the 50k samples/sec/chip north-star target.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC = 50_000.0
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "4096"))
+    hidden = int(os.environ.get("BENCH_HIDDEN", "256"))
+
+    import jax
+
+    import mimikit_tpu as mmk
+
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(sr=16000, q_levels=256, mlp_dim=hidden)
+    )
+    cfg = mmk.SampleRNN.Config(
+        frame_sizes=(16, 8, 8), hidden_dim=hidden, io_spec=io
+    )
+    net = mmk.SampleRNN.from_config(cfg)
+    net.seed(0)
+
+    rf = net.rf
+    prior_t = 2 * rf
+    prompts = (np.random.randint(0, 256, (batch, prior_t)).astype(np.int32),)
+
+    # compile + warm up (separate small run so the timed region is steady-state)
+    t0 = time.time()
+    out = net.generate(prompts, n_steps=n_steps, temperature=0.9)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    n_rep = 3
+    t0 = time.time()
+    for i in range(n_rep):
+        out = net.generate(
+            prompts, n_steps=n_steps, temperature=0.9,
+            rng=jax.random.PRNGKey(i),
+        )
+        jax.block_until_ready(out)
+    elapsed = (time.time() - t0) / n_rep
+
+    total_samples = batch * n_steps
+    samples_per_sec = total_samples / elapsed
+
+    result = {
+        "metric": "samplernn3_decode_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# backend={jax.default_backend()} batch={batch} steps={n_steps}"
+        f" steps/s={n_steps / elapsed:.1f} compile={compile_s:.1f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

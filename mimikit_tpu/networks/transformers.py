@@ -1,0 +1,524 @@
+"""Causal transformer networks: SimpleTransformer + JukeBox tiers.
+
+Rebuild of ``/root/reference/mimikit/networks/transformers.py``.  The
+reference wraps torch's ``TransformerDecoder`` self-attending over its own
+input (tgt = memory = src) with a causal mask; here each decoder block is a
+flax module with causal self-attention + causal cross-attention over the same
+sequence + FFN — batch-first throughout (no permutes; XLA prefers it).
+"""
+from __future__ import annotations
+
+import dataclasses as dtc
+from typing import Iterable, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from ..io_spec import IOSpec
+
+from ..features.item_spec import ItemSpec, Step
+from ..features.functionals import Discrete
+from ..modules.activations import _PLAIN
+from ..modules.io import (
+    EmbeddingConv1d,
+    FramedConv1dIO,
+    FramedLinearIO,
+    ZipReduceVariables,
+)
+from ..modules.resamplers import LinearResampler
+from .arm import ARM, NetworkConfig
+
+__all__ = ["PositionalEncoding", "SimpleTransformer", "TransformerTier", "JukeBox"]
+
+
+def sinusoidal_pe(max_len: int, d_model: int) -> np.ndarray:
+    pe = np.zeros((max_len, d_model), np.float32)
+    position = np.arange(max_len)[:, None].astype(np.float32)
+    div_term = np.exp(
+        np.arange(0, d_model, 2).astype(np.float32) * (-np.log(10000.0) / d_model)
+    )
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term[: pe[:, 1::2].shape[1]])
+    return pe
+
+
+class PositionalEncoding(nn.Module):
+    d_model: int
+    dropout: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pe = jnp.asarray(sinusoidal_pe(self.max_len, self.d_model))
+        x = x + pe[None, : x.shape[1], :]
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class DecoderBlock(nn.Module):
+    """torch TransformerDecoderLayer equivalent: self-attn, cross-attn
+    (memory == the same sequence here), FFN; post- or pre-norm."""
+
+    model_dim: int
+    n_heads: int
+    feedforward_dim: int
+    dropout: float = 0.0
+    activation: str = "ReLU"
+    norm_first: bool = False
+
+    @nn.compact
+    def __call__(self, x, memory, mask, train: bool = False):
+        act = _PLAIN[str(self.activation)]
+
+        def attn(q, kv, name):
+            return nn.MultiHeadDotProductAttention(
+                num_heads=self.n_heads,
+                qkv_features=self.model_dim,
+                dropout_rate=self.dropout,
+                deterministic=not train,
+                name=name,
+            )(q, kv, mask=mask)
+
+        def drop(v):
+            if self.dropout > 0:
+                return nn.Dropout(self.dropout, deterministic=not train)(v)
+            return v
+
+        ln1 = nn.LayerNorm(name="ln1")
+        ln2 = nn.LayerNorm(name="ln2")
+        ln3 = nn.LayerNorm(name="ln3")
+
+        if self.norm_first:
+            x = x + drop(attn(ln1(x), ln1(x), "self_attn"))
+            x = x + drop(attn(ln2(x), memory, "cross_attn"))
+            h = nn.Dense(self.feedforward_dim)(ln3(x))
+            h = drop(act(h))
+            x = x + drop(nn.Dense(self.model_dim)(h))
+        else:
+            x = ln1(x + drop(attn(x, x, "self_attn")))
+            x = ln2(x + drop(attn(x, memory, "cross_attn")))
+            h = nn.Dense(self.feedforward_dim)(x)
+            h = drop(act(h))
+            x = ln3(x + drop(nn.Dense(self.model_dim)(h)))
+        return x
+
+
+class DecoderStack(nn.Module):
+    model_dim: int
+    n_heads: int
+    feedforward_dim: int
+    num_layers: int
+    dropout: float = 0.0
+    activation: str = "ReLU"
+    norm_first: bool = False
+    with_layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        T = x.shape[1]
+        mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+        memory = x
+        for i in range(self.num_layers):
+            x = DecoderBlock(
+                self.model_dim,
+                self.n_heads,
+                self.feedforward_dim,
+                self.dropout,
+                self.activation,
+                self.norm_first,
+                name=f"block{i}",
+            )(x, memory, mask, train=train)
+        if self.with_layer_norm:
+            x = nn.LayerNorm(name="final_ln")(x)
+        return x
+
+
+class SimpleTransformerCore(nn.Module):
+    cfg: dict
+    input_heads: Tuple[nn.Module, ...]
+    output_modules: Tuple[nn.Module, ...]
+
+    def setup(self):
+        c = self.cfg
+        self.input_module = ZipReduceVariables(mode="sum", heads=self.input_heads)
+        self.pe = PositionalEncoding(c["model_dim"], dropout=0.0, max_len=2048)
+        self.model = DecoderStack(
+            model_dim=c["model_dim"],
+            n_heads=c["n_heads"],
+            feedforward_dim=c["feedforward_dim"],
+            num_layers=c["num_layers"],
+            dropout=c["dropout"],
+            activation="ReLU",
+            with_layer_norm=c["with_layer_norm"],
+        )
+        self.input_dropout = c["input_dropout"]
+
+    def __call__(self, inputs: Tuple, hidden=None, train: bool = False,
+                 temperature=None):
+        src = self.input_module(inputs, train=train)
+        if train and self.input_dropout > 0:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"),
+                1.0 - self.input_dropout,
+                (src.shape[0], 1, src.shape[-1]),
+            )
+            src = jnp.where(keep, src / (1.0 - self.input_dropout), 0.0)
+        src = self.pe(src, train=train)
+        out = self.model(src, train=train)
+        if not train:
+            out = out[:, -1:]
+            return (
+                tuple(
+                    mod(out, train=False, temperature=temperature)
+                    for mod in self.output_modules
+                ),
+                (),
+            )
+        return tuple(mod(out, train=True) for mod in self.output_modules), ()
+
+
+class _StatefulTransformerARM(ARM):
+    """Shared wrapper plumbing for transformer networks."""
+
+    def __init__(self, *, config, core):
+        self._config = config
+        self.module = core
+        self.params = None
+        self.training = True
+
+    @property
+    def config(self):
+        return self._config
+
+    def train(self):
+        self.training = True
+        return self
+
+    def eval(self):
+        self.training = False
+        return self
+
+    def _dummy_inputs(self, batch_size, T):
+        import jax.numpy as jnp
+
+        out = []
+        for spec in self.config.io_spec.inputs:
+            if isinstance(spec.elem_type, Discrete):
+                out.append(jnp.zeros((batch_size, T), jnp.int32))
+            else:
+                out.append(
+                    jnp.zeros((batch_size, T, spec.elem_type.size), jnp.float32)
+                )
+        return tuple(out)
+
+    def init_params(self, batch_size: int = 1, batch_length: Optional[int] = None, rng=None):
+        if rng is None:
+            rng = self.next_rng()
+        T = batch_length if batch_length is not None else self.rf + self._init_extra()
+        dummy = self._dummy_inputs(batch_size, T)
+        variables = self.module.init(
+            {"params": rng, "dropout": rng, "sample": rng}, dummy, None, True
+        )
+        self.params = variables["params"]
+        return self.params
+
+    def _init_extra(self) -> int:
+        return 0
+
+    def _ensure_params(self, inputs):
+        if self.params is None:
+            self.init_params(
+                batch_size=np.shape(inputs[0])[0],
+                batch_length=np.shape(inputs[0])[1],
+            )
+
+    def forward(self, inputs: Tuple, **parameters):
+        inputs = tuple(jnp.asarray(x) for x in inputs)
+        self._ensure_params(inputs)
+        outs, _ = self.module.apply(
+            {"params": self.params},
+            inputs,
+            None,
+            self.training,
+            parameters.get("temperature", None),
+            rngs={"dropout": self.next_rng(), "sample": self.next_rng()},
+        )
+        return outs
+
+    def before_generate(self, prompts: Tuple, batch_index: int) -> None:
+        self._ensure_params(prompts)
+
+    def generate_step(self, inputs: Tuple, *, t: int = 0, **parameters):
+        was = self.training
+        self.training = False
+        try:
+            return self.forward(inputs, **parameters)
+        finally:
+            self.training = was
+
+    def after_generate(self, final_outputs: Tuple, batch_index: int) -> None:
+        pass
+
+    @property
+    def generate_params(self):
+        return {"temperature"}
+
+
+class SimpleTransformer(_StatefulTransformerARM):
+    @dtc.dataclass
+    class Config(NetworkConfig):
+        io_spec: "IOSpec" = None
+        model_dim: int = 256
+        n_heads: int = 8
+        feedforward_dim: int = 1024
+        num_layers: int = 8
+        with_layer_norm: bool = False
+        dropout: float = 0.0
+        input_dropout: float = 0.1
+        rf: int = 64
+
+    @classmethod
+    def from_config(cls, config: "SimpleTransformer.Config"):
+        input_heads = tuple(
+            spec.module.copy().set(out_dim=config.model_dim).module()
+            for spec in config.io_spec.inputs
+        )
+        output_modules = tuple(
+            spec.module.copy().set(in_dim=config.model_dim).module()
+            for spec in config.io_spec.targets
+        )
+        core = SimpleTransformerCore(
+            cfg=dict(
+                model_dim=config.model_dim,
+                n_heads=config.n_heads,
+                feedforward_dim=config.feedforward_dim,
+                num_layers=config.num_layers,
+                with_layer_norm=config.with_layer_norm,
+                dropout=config.dropout,
+                input_dropout=config.input_dropout,
+            ),
+            input_heads=input_heads,
+            output_modules=output_modules,
+        )
+        return cls(config=config, core=core)
+
+    @property
+    def rf(self):
+        return self._config.rf
+
+    def train_batch(self, item_spec: ItemSpec):
+        return tuple(
+            spec.to_batch_item(item_spec) for spec in self.config.io_spec.inputs
+        ), tuple(
+            spec.to_batch_item(ItemSpec(shift=1, length=0, unit=Step()) + item_spec)
+            for spec in self.config.io_spec.targets
+        )
+
+    def test_batch(self, item_spec: ItemSpec):
+        return self.train_batch(item_spec)
+
+
+class TransformerTier(nn.Module):
+    """SampleRNN-style tier with a transformer instead of an RNN
+    (reference ``transformers.py:181-260``)."""
+
+    input_module: nn.Module
+    model_dim: Optional[int] = 256
+    n_heads: int = 8
+    feedforward_dim: int = 1024
+    num_layers: int = 8
+    with_layer_norm: bool = False
+    dropout: float = 0.0
+    activation: str = "Mish"
+    norm_first: bool = False
+    positional_encoding: Optional[int] = 4096
+    up_sampling: Optional[int] = None
+
+    def setup(self):
+        if self.model_dim is not None:
+            if self.positional_encoding is not None:
+                self.pe = PositionalEncoding(
+                    self.model_dim, dropout=0.0, max_len=self.positional_encoding
+                )
+            self.model = DecoderStack(
+                model_dim=self.model_dim,
+                n_heads=self.n_heads,
+                feedforward_dim=self.feedforward_dim,
+                num_layers=self.num_layers,
+                dropout=self.dropout,
+                activation=self.activation,
+                norm_first=self.norm_first,
+                with_layer_norm=self.with_layer_norm,
+            )
+        if self.up_sampling is not None:
+            assert self.model_dim is not None
+            self.up_sampler = LinearResampler(
+                self.model_dim, t_factor=self.up_sampling, d_factor=1
+            )
+
+    def __call__(self, inputs: Tuple, x_upper=None, train: bool = False):
+        x = self.input_module(inputs, train=train)
+        if x_upper is not None:
+            x = x + x_upper
+        if self.model_dim is not None:
+            if self.positional_encoding is not None:
+                x = self.pe(x, train=train)
+            x = self.model(x, train=train)
+            x = jnp.tanh(x)
+        if self.up_sampling is not None:
+            x = self.up_sampler(x)
+        return x
+
+
+class JukeBoxCore(nn.Module):
+    frame_sizes: Tuple[int, ...]
+    tiers: Tuple[nn.Module, ...]
+    output_modules: Tuple[nn.Module, ...]
+
+    def __call__(self, inputs: Tuple, hidden=None, train: bool = False,
+                 temperature=None):
+        prev_output = None
+        fs0 = self.frame_sizes[0]
+        for tier, fs in zip(self.tiers[:-1], self.frame_sizes[:-1]):
+            tier_input = tuple(x[:, fs0 - fs : x.shape[1] - fs] for x in inputs)
+            prev_output = tier(tier_input, prev_output, train=train)
+        fs = self.frame_sizes[-1]
+        tier_input = tuple(x[:, fs0 - fs : x.shape[1] - 1] for x in inputs)
+        prev_output = self.tiers[-1](tier_input, prev_output, train=train)
+        if not train:
+            prev_output = prev_output[:, -1:]
+            return (
+                tuple(
+                    mod(prev_output, train=False, temperature=temperature)
+                    for mod in self.output_modules
+                ),
+                (),
+            )
+        return (
+            tuple(mod(prev_output, train=True) for mod in self.output_modules),
+            (),
+        )
+
+
+class JukeBox(_StatefulTransformerARM):
+    @dtc.dataclass
+    class Config(NetworkConfig):
+        io_spec: "IOSpec" = None
+        frame_sizes: Tuple[int, ...] = (32, 16, 4)
+        model_dim: int = 256
+        n_heads: int = 8
+        feedforward_dim: int = 1024
+        num_layers: int = 1
+        layer_activation: str = "Mish"
+        norm_first: bool = False
+        with_layer_norm: bool = False
+        dropout: float = 0.0
+        positional_encoding: Optional[int] = 4096
+        weight_norm: bool = False
+        input_dropout: float = 0.0
+        rf: int = 64
+
+    @classmethod
+    def from_config(cls, config: "JukeBox.Config"):
+        tiers: List[nn.Module] = []
+        h_dim = config.model_dim
+        fs_list = config.frame_sizes
+        for i, fs in enumerate(fs_list[:-1]):
+            mods = tuple(
+                in_spec.module.copy()
+                .set(frame_size=fs, hop_length=fs, out_dim=h_dim)
+                .module()
+                for in_spec in config.io_spec.inputs
+            )
+            tiers.append(
+                TransformerTier(
+                    input_module=ZipReduceVariables(mode="sum", heads=mods),
+                    model_dim=config.model_dim,
+                    n_heads=config.n_heads,
+                    feedforward_dim=config.feedforward_dim,
+                    num_layers=config.num_layers,
+                    with_layer_norm=config.with_layer_norm,
+                    dropout=config.dropout,
+                    activation=str(config.layer_activation),
+                    norm_first=config.norm_first,
+                    positional_encoding=config.positional_encoding,
+                    up_sampling=fs
+                    // (fs_list[i + 1] if i < len(fs_list) - 2 else 1),
+                )
+            )
+        mods = []
+        for in_spec in config.io_spec.inputs:
+            if isinstance(in_spec.elem_type, Discrete):
+                params = dict(class_size=in_spec.elem_type.size)
+                module_type = (
+                    FramedConv1dIO
+                    if isinstance(in_spec.module, FramedLinearIO)
+                    else EmbeddingConv1d
+                )
+            else:
+                params = dict()
+                module_type = FramedConv1dIO
+            mods.append(
+                module_type()
+                .set(**params, frame_size=fs_list[-1], hop_length=1, out_dim=h_dim)
+                .module()
+            )
+        tiers.append(
+            TransformerTier(
+                input_module=ZipReduceVariables(mode="sum", heads=tuple(mods)),
+                model_dim=None,
+                up_sampling=None,
+            )
+        )
+        output_modules = tuple(
+            t_spec.module.copy().set(in_dim=h_dim).module()
+            for t_spec in config.io_spec.targets
+        )
+        core = JukeBoxCore(
+            frame_sizes=fs_list, tiers=tuple(tiers), output_modules=output_modules
+        )
+        return cls(config=config, core=core)
+
+    @property
+    def rf(self):
+        return self._config.rf
+
+    def _init_extra(self) -> int:
+        return 1
+
+    def train_batch(self, item_spec: ItemSpec):
+        return tuple(
+            spec.to_batch_item(
+                ItemSpec(shift=0, length=self._config.frame_sizes[0], unit=spec.unit)
+                + item_spec
+            )
+            for spec in self.config.io_spec.inputs
+        ), tuple(
+            spec.to_batch_item(
+                ItemSpec(shift=self._config.frame_sizes[0], unit=spec.unit)
+                + item_spec
+            )
+            for spec in self.config.io_spec.targets
+        )
+
+    def test_batch(self, item_spec: ItemSpec):
+        return tuple(
+            spec.to_batch_item(item_spec.to(spec.unit))
+            for spec in self.config.io_spec.inputs
+        ), tuple(
+            spec.to_batch_item(
+                ItemSpec(
+                    shift=self._config.frame_sizes[0],
+                    length=-self._config.frame_sizes[0],
+                    unit=spec.unit,
+                )
+                + item_spec
+            )
+            for spec in self.config.io_spec.targets
+        )

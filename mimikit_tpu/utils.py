@@ -7,6 +7,7 @@ __all__ = [
     "DATASET_REGEX",
     "CHECKPOINT_REGEX",
     "default_device",
+    "FileWalker",
 ]
 
 import re
@@ -25,6 +26,24 @@ class AutoStrEnum(str, Enum):
 
     def __str__(self):
         return self.value
+
+
+def FileWalker(pattern, root="./"):
+    """Yield files under ``root`` matching a regex (h5mapper.FileWalker
+    equivalent — see SURVEY.md §0)."""
+    import os
+
+    rex = re.compile(pattern) if isinstance(pattern, str) else pattern
+    roots = [root] if isinstance(root, (str, bytes)) else list(root)
+    for r in roots:
+        if os.path.isfile(r):
+            if rex.match(r):
+                yield r
+            continue
+        for dirpath, _, files in os.walk(r):
+            for f in sorted(files):
+                if rex.match(f) or rex.match(os.path.join(dirpath, f)):
+                    yield os.path.join(dirpath, f)
 
 
 def default_device() -> str:
