@@ -1,0 +1,74 @@
+"""Feature-pipeline throughput: STFT / mel / mu-law vs the 100x-realtime
+target (BASELINE.md).  Run on the TPU backend; prints one JSON line per op.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, n=5):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.time() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import mimikit_tpu as mmk
+    from mimikit_tpu.features import dsp
+
+    sr = 22050
+    seconds = 120
+    y = jnp.asarray(
+        np.random.uniform(-1, 1, sr * seconds).astype(np.float32)
+    )
+
+    results = {}
+
+    stft = lambda x: dsp.stft_jax(x, 2048, 512, True, "hann")
+    results["stft_2048"] = seconds / timeit(stft, y)
+
+    mag = mmk.MagSpec(2048, 512)
+    S = mag.jax_func(y)
+    mel = mmk.MelSpec(n_mels=128, sr=sr, n_fft=2048)
+    results["melspec_128"] = seconds / timeit(mel.jax_func, S)
+
+    mu = mmk.MuLawCompress(256)
+    results["mulaw_jnp"] = seconds / timeit(mu.jax_func, y)
+
+    from mimikit_tpu.ops import pallas_kernels as pk
+
+    results["mulaw_pallas"] = seconds / timeit(pk.mulaw_compress, y)
+
+    gla = mmk.GLA(2048, 512, n_iter=32)
+    gla_seconds = 8
+    results["griffinlim_32it"] = gla_seconds / timeit(
+        gla.jax_func, S[: 1 + gla_seconds * sr // 512], n=2
+    )
+
+    for k, v in results.items():
+        print(
+            json.dumps(
+                {
+                    "metric": f"preproc_{k}_x_realtime",
+                    "value": round(v, 1),
+                    "unit": "x_realtime",
+                    "vs_baseline": round(v / 100.0, 2),
+                }
+            )
+        )
+    print(f"# backend={jax.default_backend()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

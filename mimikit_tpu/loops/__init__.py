@@ -3,3 +3,4 @@ from .logger import *
 from .generate import *
 from .train_loops import *
 from .beta_scheduler import *
+from .device_loader import *

@@ -89,6 +89,13 @@ class TrainARMLoop:
 
     @classmethod
     def get_dataloader(cls, dataset, net, cfg: TrainARMConfig):
+        # trainer_kwargs={"device_batching": True} uploads the feature arrays
+        # once and gathers batches on device (loops/device_loader.py) — the
+        # TPU-native replacement for the reference's worker processes
+        if cfg.trainer_kwargs.get("device_batching", False):
+            from .device_loader import make_train_loader
+
+            return make_train_loader(dataset, net, cfg, prefer_device=True)
         user_spec = ItemSpec(
             shift=0,
             length=cfg.batch_length,

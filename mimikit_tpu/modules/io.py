@@ -95,10 +95,14 @@ class Pipeline(nn.Module):
 class _Dense(nn.Module):
     out_dim: int
     use_bias: bool = True
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return nn.Dense(self.out_dim, use_bias=self.use_bias)(x)
+        layer = nn.Dense(self.out_dim, use_bias=self.use_bias)
+        if self.weight_norm:
+            layer = nn.WeightNorm(layer)
+        return layer(x)
 
 
 class _Embed(nn.Module):
@@ -139,6 +143,7 @@ class IOModule(Config, abc.ABC):
     frame_size: Optional[int] = private_runtime_field(None)
     class_size: Optional[int] = private_runtime_field(None)
     sampler: Optional[nn.Module] = private_runtime_field(None)
+    weight_norm: bool = private_runtime_field(False)
     with_linearizer: bool = private_runtime_field(False)
     with_unfold: bool = private_runtime_field(False)
     with_n_chunks: Optional[int] = private_runtime_field(None)
@@ -205,7 +210,7 @@ class LinearIO(IOModule):
 
     def module(self) -> nn.Module:
         self.not_none("out_dim")
-        return self.wrap(_Dense(self.out_dim, self.bias))
+        return self.wrap(_Dense(self.out_dim, self.bias, self.weight_norm))
 
 
 @dtc.dataclass
@@ -216,7 +221,7 @@ class FramedLinearIO(IOModule):
         self.not_none("frame_size", "hop_length", "out_dim", "class_size")
         self.with_linearizer = True
         self.with_unfold = True
-        return self.wrap(_Dense(self.out_dim))
+        return self.wrap(_Dense(self.out_dim, weight_norm=self.weight_norm))
 
 
 @dtc.dataclass
@@ -227,7 +232,9 @@ class ChunkedLinearIO(IOModule):
     def module(self) -> nn.Module:
         self.not_none("out_dim")
         self.with_n_chunks = self.n_chunks
-        return self.wrap(_Dense(self.out_dim * self.n_chunks, self.bias))
+        return self.wrap(
+            _Dense(self.out_dim * self.n_chunks, self.bias, self.weight_norm)
+        )
 
 
 @dtc.dataclass

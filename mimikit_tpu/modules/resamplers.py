@@ -17,11 +17,15 @@ class LinearResampler(nn.Module):
     in_dim: int
     t_factor: float
     d_factor: float
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, T, D = x.shape
-        y = nn.Dense(int(self.in_dim * self.t_factor * self.d_factor))(x)
+        layer = nn.Dense(int(self.in_dim * self.t_factor * self.d_factor))
+        if self.weight_norm:
+            layer = nn.WeightNorm(layer)
+        y = layer(x)
         return y.reshape(B, int(T * self.t_factor), int(D * self.d_factor))
 
 

@@ -79,12 +79,16 @@ class RNNStack(nn.Module):
     n_layers: int = 1
     cell_type: str = "lstm"
     dropout: float = 0.0
+    weight_norm: bool = False
 
     def setup(self):
-        self.cells = [
+        cells = [
             _make_cell(self.cell_type, self.hidden_dim, f"l{i}")
             for i in range(self.n_layers)
         ]
+        if self.weight_norm:
+            cells = [nn.WeightNorm(c) for c in cells]
+        self.cells = cells
 
     def default_carry(self, batch_size, dtype=jnp.float32):
         return init_rnn_carry(

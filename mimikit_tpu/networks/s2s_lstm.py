@@ -53,10 +53,15 @@ class _BiLSTMSum(nn.Module):
     (reference ``s2s_lstm_v2.py:100``)."""
 
     output_dim: int
+    weight_norm: bool = False
 
     def setup(self):
-        self.fwd = RNNStack(self.output_dim, 1, "lstm", name="fwd")
-        self.bwd = RNNStack(self.output_dim, 1, "lstm", name="bwd")
+        self.fwd = RNNStack(
+            self.output_dim, 1, "lstm", weight_norm=self.weight_norm, name="fwd"
+        )
+        self.bwd = RNNStack(
+            self.output_dim, 1, "lstm", weight_norm=self.weight_norm, name="bwd"
+        )
 
     def __call__(self, x):
         y_f, c_f = self.fwd(x, None)
@@ -75,15 +80,19 @@ class EncoderLSTM(nn.Module):
     num_layers: int = 1
     hop: int = 4
     apply_residuals: bool = False
+    weight_norm: bool = False
 
     def setup(self):
         self.lstms = [
-            _BiLSTMSum(self.output_dim, name=f"lstm{i}")
+            _BiLSTMSum(self.output_dim, self.weight_norm, name=f"lstm{i}")
             for i in range(self.num_layers)
         ]
         if str(self.downsampling) == "linear_resample":
-            self.fc = LinearResampler(self.output_dim, 1 / self.hop, 1)
-        self.fc_out = nn.Dense(self.output_dim, use_bias=False)
+            self.fc = LinearResampler(
+                self.output_dim, 1 / self.hop, 1, weight_norm=self.weight_norm
+            )
+        fc_out = nn.Dense(self.output_dim, use_bias=False)
+        self.fc_out = nn.WeightNorm(fc_out) if self.weight_norm else fc_out
 
     def __call__(self, x):
         assert x.shape[1] == self.hop
@@ -111,14 +120,17 @@ class DecoderLSTM(nn.Module):
     num_layers: int = 1
     hop: int = 4
     apply_residuals: bool = False
+    weight_norm: bool = False
 
     def setup(self):
         self.lstms = [
-            _BiLSTMSum(self.model_dim, name=f"lstm{i}")
+            _BiLSTMSum(self.model_dim, self.weight_norm, name=f"lstm{i}")
             for i in range(self.num_layers)
         ]
         if str(self.upsampling) == "linear_resample":
-            self.fc = LinearResampler(self.model_dim, self.hop, 1)
+            self.fc = LinearResampler(
+                self.model_dim, self.hop, 1, weight_norm=self.weight_norm
+            )
 
     def __call__(self, x, hidden=None):
         assert x.shape[1] == 1
@@ -219,6 +231,7 @@ class Seq2SeqLSTMNetwork(ARMWithHidden):
                 num_layers=cfg.enc_n_lstm,
                 hop=cfg.hop,
                 apply_residuals=cfg.enc_apply_residuals,
+                weight_norm=cfg.enc_weight_norm,
             ),
             decoder_cfg=dict(
                 upsampling=str(cfg.dec_upsampling),
@@ -226,6 +239,7 @@ class Seq2SeqLSTMNetwork(ARMWithHidden):
                 num_layers=cfg.dec_n_lstm,
                 hop=cfg.hop,
                 apply_residuals=cfg.dec_apply_residuals,
+                weight_norm=cfg.dec_weight_norm,
             ),
         )
         return cls(config=cfg, core=core)

@@ -65,6 +65,7 @@ class SampleRNNCore(nn.Module):
     up_factors: Tuple[int, ...]
     tier_inputs: Tuple[nn.Module, ...]  # ZipReduceVariables per tier
     outputs: Tuple[nn.Module, ...]
+    weight_norm: bool = False
 
     @property
     def has_rnn(self) -> bool:
@@ -78,12 +79,16 @@ class SampleRNNCore(nn.Module):
                     self.n_rnn,
                     str(self.rnn_class),
                     self.rnn_dropout,
+                    weight_norm=self.weight_norm,
                     name=f"rnn_t{i}",
                 )
                 for i in range(len(self.frame_sizes) - 1)
             ]
         self.upsamplers = [
-            LinearResampler(self.hidden_dim, t_factor=up, d_factor=1, name=f"up_t{i}")
+            LinearResampler(
+                self.hidden_dim, t_factor=up, d_factor=1,
+                weight_norm=self.weight_norm, name=f"up_t{i}",
+            )
             for i, up in enumerate(self.up_factors)
         ]
 
@@ -204,10 +209,11 @@ class SampleRNN(ARMWithHidden):
         fs = config.frame_sizes
         tier_inputs = []
         up_factors = []
+        wn = dict(weight_norm=True) if config.weight_norm else {}
         for i, f in enumerate(fs[:-1]):
             mods = tuple(
                 in_spec.module.copy()
-                .set(frame_size=f, hop_length=f, out_dim=h)
+                .set(frame_size=f, hop_length=f, out_dim=h, **wn)
                 .module()
                 for in_spec in config.io_spec.inputs
             )
@@ -237,7 +243,7 @@ class SampleRNN(ARMWithHidden):
             ZipReduceVariables(mode=str(config.inputs_mode), heads=tuple(mods))
         )
         outputs = tuple(
-            t_spec.module.copy().set(in_dim=h).module()
+            t_spec.module.copy().set(in_dim=h, **wn).module()
             for t_spec in config.io_spec.targets
         )
         core = SampleRNNCore(
@@ -249,6 +255,7 @@ class SampleRNN(ARMWithHidden):
             up_factors=tuple(up_factors),
             tier_inputs=tuple(tier_inputs),
             outputs=outputs,
+            weight_norm=config.weight_norm,
         )
         return cls(config=config, core=core)
 

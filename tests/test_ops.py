@@ -1,0 +1,117 @@
+"""Native C++ kernels + Pallas kernels vs their numpy/jnp oracles."""
+import numpy as np
+import pytest
+
+import mimikit_tpu as mmk
+
+
+def _native():
+    try:
+        from mimikit_tpu.ops import native
+
+        return native
+    except Exception:
+        pytest.skip("native kernels not built")
+
+
+def test_native_derivative_matches_numpy():
+    native = _native()
+    from mimikit_tpu.features.functionals import _odd_reflect_pad_np
+
+    y = np.random.randn(3, 400).astype(np.float32)
+
+    def ref(y, max_lag):
+        grads = np.zeros_like(y)
+        for lag in range(1, max_lag + 1):
+            y_p = _odd_reflect_pad_np(y, lag)
+            k = 2 * lag + 1
+            a, b = y_p[..., : -k + 1], y_p[..., k - 1 :]
+            grads += (1 / lag) * ((b - y) + (y - a)) / 2 / max_lag
+        return grads
+
+    assert np.allclose(native.derivative(y, 4), ref(y, 4), atol=1e-5)
+
+
+def test_native_pwdk_cosine():
+    native = _native()
+    X = np.random.rand(40, 6)
+    k = 4
+    D = native.pwdk_cosine(X, k)
+    for i in range(40):
+        for j in range(max(i - (k - 1), 0), min(i + k, 40)):
+            if i == j:
+                continue
+            dij = 1 - X[i] @ X[j] / (
+                np.linalg.norm(X[i]) * np.linalg.norm(X[j])
+            )
+            assert abs(D[i, (k - 1) + (j - i)] - dij) < 1e-9
+
+
+def test_native_convolve_diagonals():
+    native = _native()
+    K = 5
+    diag = np.random.rand(30, 2 * K - 1)
+    kern = np.random.rand(K, K)
+    out = native.convolve_diagonals(diag, kern)
+    ref = np.zeros(30 - K + 1)
+    for i in range(len(ref)):
+        ref[i] = sum(
+            diag[i + j, K - j - 1 : 2 * K - j - 1] @ kern[j] for j in range(K)
+        )
+    assert np.allclose(out, ref)
+
+
+def test_native_attack_decay():
+    native = _native()
+    y = np.sin(np.linspace(0, 30, 600)).astype(np.float32)
+    att, dec = native.attack_decay(y)
+    assert len(att) == len(dec)
+    assert np.all(att[:-1] < att[1:])
+    # every peak follows its attack
+    assert np.all(dec >= att)
+
+
+def test_pallas_mulaw_matches_jnp():
+    import jax.numpy as jnp
+
+    from mimikit_tpu.ops import pallas_kernels as pk
+
+    x = np.clip(np.random.randn(2, 500).astype(np.float32) * 0.4, -1, 1)
+    q_ref = np.asarray(mmk.MuLawCompress(256).jax_func(jnp.asarray(x)))
+    q_pal = np.asarray(pk.mulaw_compress(x, 256))  # interpret mode on CPU
+    assert np.array_equal(q_ref, q_pal)
+
+    y_ref = np.asarray(mmk.MuLawExpand(256).jax_func(jnp.asarray(q_ref)))
+    y_pal = np.asarray(pk.mulaw_expand(q_ref, 256))
+    assert np.allclose(y_ref, y_pal, atol=1e-6)
+
+
+def test_device_batcher_matches_host(tmp_path):
+    from mimikit_tpu.loops.device_loader import (
+        DeviceBatcher,
+        supports_device_batching,
+    )
+
+    from .test_utils import make_db_config
+
+    db = make_db_config(tmp_path, n_samples=4000).create(mode="w")
+    batch = (
+        (
+            mmk.Input(
+                "signal", mmk.AsSlice(shift=0, length=32), mmk.MuLawCompress(64)
+            ),
+        ),
+        (
+            mmk.Input(
+                "signal", mmk.AsSlice(shift=8, length=24), mmk.MuLawCompress(64)
+            ),
+        ),
+    )
+    assert supports_device_batching(batch)
+    dev = DeviceBatcher(db, batch, batch_size=4, shuffle=False)
+    host = db.serve(batch, batch_size=4, shuffle=False)
+    (bd,), (td,) = next(iter(dev))
+    (bh,), (th,) = next(iter(host))
+    assert np.array_equal(np.asarray(bd), bh)
+    assert np.array_equal(np.asarray(td), th)
+    assert len(dev) == len(host)

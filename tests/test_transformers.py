@@ -1,0 +1,86 @@
+"""SimpleTransformer + JukeBox shapes and generation."""
+import numpy as np
+import pytest
+
+import mimikit_tpu as mmk
+
+
+def small_io(q=32):
+    return mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=q, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+
+
+def test_simple_transformer_shapes():
+    cfg = mmk.SimpleTransformer.Config(
+        io_spec=small_io(), model_dim=32, n_heads=4, feedforward_dim=64,
+        num_layers=2, rf=16,
+    )
+    tr = mmk.SimpleTransformer.from_config(cfg)
+    x = np.random.randint(0, 32, (2, 16))
+    out = tr.forward((x,))
+    assert out[0].shape == (2, 16, 32)
+    tr.eval()
+    out_e = tr.forward((x,), temperature=0.7)
+    assert out_e[0].shape == (2, 1)
+
+
+def test_transformer_train_batch_shift():
+    cfg = mmk.SimpleTransformer.Config(io_spec=small_io(), rf=16)
+    tr = mmk.SimpleTransformer.from_config(cfg)
+    inputs, targets = tr.train_batch(
+        mmk.ItemSpec(0, 32, unit=mmk.Sample(16000))
+    )
+    assert targets[0].getter.shift == inputs[0].getter.shift + 1
+
+
+def test_jukebox_shapes():
+    cfg = mmk.JukeBox.Config(
+        io_spec=mmk.IOSpec.mulaw_io(
+            mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16)
+        ),
+        frame_sizes=(16, 8, 4),
+        model_dim=32,
+        n_heads=4,
+        feedforward_dim=64,
+        num_layers=1,
+        rf=32,
+    )
+    jb = mmk.JukeBox.from_config(cfg)
+    x = np.random.randint(0, 32, (2, 16 + 32))
+    out = jb.forward((x,))
+    assert out[0].shape == (2, 32, 32)
+    jb.eval()
+    out_e = jb.forward((x,), temperature=0.5)
+    assert out_e[0].shape[0] == 2
+
+
+def test_transformer_generate_loop(tmp_path):
+    from .test_utils import make_db_config
+
+    db = make_db_config(tmp_path, filename="tr-gen.h5").create(mode="w")
+    tr = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=small_io(), model_dim=32, n_heads=4, feedforward_dim=64,
+            num_layers=1, rf=16,
+        )
+    )
+    loop = mmk.GenerateLoopV2.from_config(
+        mmk.GenerateLoopV2.Config(
+            prompts_length_sec=32 / 16000,
+            output_duration_sec=16 / 16000,
+            prompts_position_sec=(None,),
+            batch_size=1,
+            parameters=dict(temperature=1.0),
+            display_waveform=False,
+        ),
+        db,
+        tr,
+    )
+    ran = False
+    for outputs in loop.run():
+        ran = True
+        assert outputs[0].shape[1] == 48
+    assert ran
