@@ -21,6 +21,10 @@ def timeit(fn, *args, n=5):
 
 
 def main():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
 

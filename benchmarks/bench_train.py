@@ -1,0 +1,112 @@
+"""Training-step throughput for the flagship configs on one chip.
+
+Measures steady-state jitted train-step rate (audio samples consumed per
+second) for SampleRNN (TBPTT config from demos/srnn.py, scaled) and WaveNet.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_net(name, net, io, batch_size, batch_length, n_steps=20):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    rf = net.rf
+    q = io.inputs[0].elem_type.size
+    x = jnp.asarray(
+        np.random.randint(0, q, (batch_size, rf + batch_length)), jnp.int32
+    )
+    if name.startswith("wavenet"):
+        y = jnp.asarray(
+            np.random.randint(0, q, (batch_size, batch_length + 1)), jnp.int32
+        )
+        x = x[:, : rf + batch_length]
+    else:
+        y = jnp.asarray(
+            np.random.randint(0, q, (batch_size, batch_length)), jnp.int32
+        )
+    net.init_params(batch_size=batch_size, batch_length=batch_length)
+    loss_fn = io.loss_fn
+    module = net.module
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(net.params)
+
+    def step(params, opt_state, inputs, targets, rng):
+        def compute(p):
+            outputs, h = module.apply(
+                {"params": p}, inputs, None, True,
+                rngs={"dropout": rng, "sample": rng},
+            )
+            t = targets
+            if outputs[0].shape[1] != t[0].shape[1]:
+                t = tuple(v[:, : outputs[0].shape[1]] for v in t)
+            return loss_fn(outputs, t)["loss"]
+
+        loss, grads = jax.value_and_grad(compute)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step = jax.jit(step, donate_argnums=(0, 1))
+    params = net.params
+    rng = jax.random.PRNGKey(0)
+    params, opt_state, loss = step(params, opt_state, (x,), (y,), rng)
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for _ in range(n_steps):
+        params, opt_state, loss = step(params, opt_state, (x,), (y,), rng)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / n_steps
+    samples_per_sec = batch_size * batch_length / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"{name}_train_samples_per_sec",
+                "value": round(samples_per_sec, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_sec / 16000.0, 1),
+            }
+        )
+    )
+    print(f"# {name}: {dt*1e3:.1f} ms/step loss={float(loss):.3f}", file=sys.stderr)
+
+
+def main():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    import mimikit_tpu as mmk
+
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(sr=16000, q_levels=256, mlp_dim=128)
+    )
+    srnn = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(
+            frame_sizes=(16, 8, 8), hidden_dim=256, io_spec=io
+        )
+    )
+    bench_net("samplernn3", srnn, io, batch_size=32, batch_length=2048)
+
+    io2 = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            sr=16000, q_levels=256, mlp_dim=128, input_module_type="embedding"
+        )
+    )
+    wn = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io2, blocks=(10,), dims_dilated=(128,), skips_dim=128,
+            residuals_dim=128, pad_side=0,
+        )
+    )
+    bench_net("wavenet10", wn, io2, batch_size=8, batch_length=4096)
+    print(f"# backend={jax.default_backend()}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

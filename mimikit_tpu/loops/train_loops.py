@@ -177,6 +177,13 @@ class TrainARMLoop:
     def __init__(self, hp: ARMHP, dataset, loader, net, loss_fn, opt=None, mesh=None):
         self._config = hp
         self.train_cfg = hp.training
+        if mesh is None and self.train_cfg.trainer_kwargs.get("data_parallel"):
+            # shard batches over all available devices (gradient all-reduce
+            # over ICI inserted by XLA)
+            from ..parallel.mesh import make_mesh
+
+            n_model = int(self.train_cfg.trainer_kwargs.get("n_model", 1))
+            mesh = make_mesh(n_model=n_model)
         self.root_dir, self.hash_, self.output_template = self.get_os_paths(hp)
         self.dataset = dataset
         self.loader = loader

@@ -139,3 +139,23 @@ def test_should_train(tmp_path):
         assert expected in content
     outputs = os.listdir(os.path.join(str(tmp_path), loop.hash_, "outputs"))
     assert ".wav" in {os.path.splitext(o)[-1] for o in outputs}
+
+
+def test_fast_decode_matches_stepwise():
+    """The jitted scan decoder must equal the step-wise parity API (argmax)."""
+    given_config = SampleRNN.Config(
+        frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=small_io(32, 16)
+    )
+    net = SampleRNN.from_config(given_config)
+    B, P, N = 2, 32, 12  # prompt length a multiple of rf
+    prompts = (np.random.randint(0, 32, (B, P)),)
+    fast = np.asarray(net.generate(prompts, n_steps=N, temperature=None)[0][:, P:])
+
+    buf = np.concatenate([prompts[0], np.zeros((B, N), prompts[0].dtype)], axis=1)
+    net.eval()
+    net.before_generate(prompts, 0)
+    for t in range(P, P + N):
+        out = net.generate_step((buf[:, t - net.rf : t],), t=t, temperature=None)
+        buf[:, t] = np.asarray(out[0][:, 0])
+    net.after_generate((), 0)
+    assert np.array_equal(buf[:, P:], fast)
