@@ -63,9 +63,17 @@ class _BiLSTMSum(nn.Module):
             self.output_dim, 1, "lstm", weight_norm=self.weight_norm, name="bwd"
         )
 
-    def __call__(self, x):
-        y_f, c_f = self.fwd(x, None)
-        y_b, c_b = self.bwd(jnp.flip(x, axis=1), None)
+    def __call__(self, x, hidden=None):
+        """hidden: optional (h, c) of shape (2, B, H) seeding fwd/bwd carries
+        (the decoder's first LSTM receives the encoder hidden,
+        reference ``s2s_lstm_v2.py:166-171``)."""
+        carry_f = carry_b = None
+        if hidden is not None:
+            h, c = hidden
+            carry_f = ((c[0], h[0]),)
+            carry_b = ((c[1], h[1]),)
+        y_f, c_f = self.fwd(x, carry_f)
+        y_b, c_b = self.bwd(jnp.flip(x, axis=1), carry_b)
         y = y_f + jnp.flip(y_b, axis=1)
         # hidden handed to the decoder: (h, c) shaped (2, B, H) — both dirs
         h = jnp.stack([c_f[0][1], c_b[0][1]], axis=0)
@@ -147,10 +155,10 @@ class DecoderLSTM(nn.Module):
             )
             interp = jnp.transpose(interp, (0, 2, 1))
             x = jnp.broadcast_to(x, (x.shape[0], self.hop, x.shape[2])) + interp
-        # seed the first LSTM with the encoder hidden: approximated by adding
-        # the (projected) context — jax carries are per-direction RNNStacks
+        # only the first LSTM is seeded with the encoder hidden
+        # (reference ``s2s_lstm_v2.py:166-171``)
         for n, lstm in enumerate(self.lstms):
-            y, _ = lstm(x)
+            y, _ = lstm(x, hidden if n == 0 else None)
             if self.apply_residuals:
                 x = x + y
             else:

@@ -338,6 +338,7 @@ class TransformerTier(nn.Module):
     activation: str = "Mish"
     norm_first: bool = False
     positional_encoding: Optional[int] = 4096
+    weight_norm: bool = False
     up_sampling: Optional[int] = None
 
     def setup(self):
@@ -359,7 +360,8 @@ class TransformerTier(nn.Module):
         if self.up_sampling is not None:
             assert self.model_dim is not None
             self.up_sampler = LinearResampler(
-                self.model_dim, t_factor=self.up_sampling, d_factor=1
+                self.model_dim, t_factor=self.up_sampling, d_factor=1,
+                weight_norm=self.weight_norm,
             )
 
     def __call__(self, inputs: Tuple, x_upper=None, train: bool = False):
@@ -429,10 +431,11 @@ class JukeBox(_StatefulTransformerARM):
         tiers: List[nn.Module] = []
         h_dim = config.model_dim
         fs_list = config.frame_sizes
+        wn = dict(weight_norm=True) if config.weight_norm else {}
         for i, fs in enumerate(fs_list[:-1]):
             mods = tuple(
                 in_spec.module.copy()
-                .set(frame_size=fs, hop_length=fs, out_dim=h_dim)
+                .set(frame_size=fs, hop_length=fs, out_dim=h_dim, **wn)
                 .module()
                 for in_spec in config.io_spec.inputs
             )
@@ -448,6 +451,7 @@ class JukeBox(_StatefulTransformerARM):
                     activation=str(config.layer_activation),
                     norm_first=config.norm_first,
                     positional_encoding=config.positional_encoding,
+                    weight_norm=config.weight_norm,
                     up_sampling=fs
                     // (fs_list[i + 1] if i < len(fs_list) - 2 else 1),
                 )

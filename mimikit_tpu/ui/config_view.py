@@ -68,13 +68,21 @@ class ConfigView:
     def widgets(self):
         return [p.widget for p in self.params]
 
+    @staticmethod
+    def widget_value(widget):
+        """Resolve the live value through composite-widget wrappers."""
+        seen = set()
+        while hasattr(widget, "_value_source") and id(widget) not in seen:
+            seen.add(id(widget))
+            widget = widget._value_source
+        return getattr(widget, "value", None)
+
     def apply(self):
         for p in self.params:
-            v = (
-                p.setter(self.config, p.widget.value)
-                if p.setter is not None
-                else p.widget.value
-            )
+            if p.name.startswith("_"):
+                continue
+            raw = self.widget_value(p.widget)
+            v = p.setter(self.config, raw) if p.setter is not None else raw
             setattr(self.config, p.name, v)
         return self
 

@@ -38,6 +38,7 @@ def Labeled(label, widget, tooltip=None):
         layout=dict(width="auto", grid_template_columns="1fr 2fr"),
     )
     container.observe = widget.observe
+    container._value_source = widget
     return container
 
 
@@ -71,6 +72,7 @@ def pw2_widget(initial_value, min_value=1, max_value=2 ** 16):
         ),
     )
     grid.observe = value.observe
+    grid._value_source = value
     return grid
 
 
@@ -114,6 +116,7 @@ def yesno_widget(initial_value=True):
         ),
     )
     grid.observe = yes.observe
+    grid._value_source = yes
     return grid
 
 
@@ -172,6 +175,7 @@ def EnumWidget(
 
         child.observe(observer, "value")
     container.observe = dummy.observe
+    container._value_source = dummy
     return container
 
 

@@ -1,0 +1,117 @@
+"""Headless view-layer logic: the clusterizer pipeline core + registries
+(widget construction itself needs ipywidgets and is skipped without it)."""
+import numpy as np
+import pytest
+
+import mimikit_tpu as mmk
+from mimikit_tpu.views.clusterizer_app import (
+    CLUSTERINGS,
+    Meta,
+    TRANSFORMS,
+    ClusterizerPipeline,
+)
+
+from .test_utils import make_db_config
+
+
+def test_meta_dependency_rules():
+    magspec_meta = TRANSFORMS["magspec"]
+    assert magspec_meta.can_be_added([])
+    assert not magspec_meta.can_be_added([mmk.MagSpec])
+
+    mfcc_meta = TRANSFORMS["mfcc"]
+    assert not mfcc_meta.can_be_added([mmk.MagSpec])
+    assert mfcc_meta.can_be_added([mmk.MagSpec, mmk.MelSpec])
+
+    pca_meta = TRANSFORMS["pca"]
+    assert pca_meta.can_be_added([mmk.MagSpec])
+    assert not pca_meta.can_be_added([])
+
+
+def test_clusterizer_pipeline_end_to_end(tmp_path):
+    ds_cfg = make_db_config(tmp_path, n_samples=8000, filename="clus.h5")
+    ds_cfg.create(mode="w")
+    pipe = ClusterizerPipeline(ds_cfg)
+    assert pipe.add_transform(mmk.MagSpec(256, 64))
+    assert not pipe.add_transform(mmk.MFCC())  # needs MelSpec first
+    pipe.set_clustering(mmk.KMeans(n_clusters=3))
+    pipe.compute("labels")
+
+    labels = np.asarray(pipe.labels[:])
+    assert len(np.unique(labels)) <= 3
+
+    segs = pipe.segments_from_clustering()
+    assert segs and segs[0]["startTime"] == 0.0
+
+    y = pipe.bounce_labels(int(labels[0]))
+    assert y.ndim == 1 and y.shape[0] > 0
+
+    # reload round trip through the stored pipeline config
+    pipe2 = ClusterizerPipeline(ds_cfg).load_result("labels")
+    assert isinstance(pipe2.clustering, mmk.KMeans)
+    assert isinstance(pipe2.transforms[0], mmk.MagSpec)
+
+
+def test_clustering_registry_complete():
+    assert {m.config_class for m in CLUSTERINGS.values()} == {
+        mmk.GCluster, mmk.QCluster, mmk.ArgMax, mmk.KMeans, mmk.SpectralClustering
+    }
+
+
+def test_views_importable_without_ipywidgets():
+    # constructing widgets should raise a *helpful* error, not ImportError at
+    # package import time
+    try:
+        import ipywidgets  # noqa: F401
+
+        pytest.skip("ipywidgets present; nothing to check")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="ipywidgets"):
+        mmk.views.factory.auto_config_view(mmk.MagSpec())
+
+
+def test_auto_config_view_apply_reads_widget_values():
+    pytest.importorskip("ipywidgets")
+    cfg = mmk.MagSpec(n_fft=512, hop_length=128)
+    view = mmk.views.factory.auto_config_view(cfg)
+    # mutate the underlying widget of the n_fft pw2 stepper, then apply()
+    param = next(p for p in view.params if p.name == "n_fft")
+    src = param.widget
+    while hasattr(src, "_value_source"):
+        src = src._value_source
+    src.value = "1024"
+    view.apply()
+    assert cfg.n_fft == 1024
+
+
+def test_config_view_observer_roundtrip():
+    W = pytest.importorskip("ipywidgets")
+    from mimikit_tpu.ui.config_view import ConfigView, Param
+
+    cfg = mmk.MuLawCompress(q_levels=64)
+    txt = W.IntText(value=cfg.q_levels)
+    view = ConfigView(cfg, Param(name="q_levels", widget=txt))
+    txt.value = 128  # triggers the observer
+    assert cfg.q_levels == 128
+
+
+def test_sample_rnn_view_builds():
+    pytest.importorskip("ipywidgets")
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    cfg = mmk.SampleRNN.Config(io_spec=io, hidden_dim=32)
+    w = mmk.sample_rnn_view(cfg)
+    assert w is not None
+
+
+def test_file_picker_lists_files(tmp_path):
+    pytest.importorskip("ipywidgets")
+    (tmp_path / "a.wav").write_bytes(b"")
+    (tmp_path / "b.txt").write_bytes(b"")
+    picker = mmk.ui.file_picker.SoundFilePicker(root=str(tmp_path))
+    grid = picker.widget.children[1].children
+    descs = [b.description for b in grid]
+    assert any("a.wav" in d for d in descs)
+    # non-matching files are disabled, not hidden
+    b_btn = next(b for b in grid if "b.txt" in b.description)
+    assert b_btn.disabled
