@@ -21,7 +21,7 @@ BASELINE_SAMPLES_PER_SEC = 50_000.0
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "4096"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "16384"))
     hidden = int(os.environ.get("BENCH_HIDDEN", "256"))
 
     import jax

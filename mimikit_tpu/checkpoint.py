@@ -25,6 +25,16 @@ from .features.dataset import DatasetConfig
 __all__ = ["Checkpoint", "CheckpointBank"]
 
 
+# flax param names may themselves contain '/' (e.g. WeightNorm's
+# 'Dense_0/kernel/scale') — escape them so the h5 path round-trip is exact
+def _esc(key: str) -> str:
+    return key.replace("%", "%25").replace("/", "%2F")
+
+
+def _unesc(key: str) -> str:
+    return key.replace("%2F", "/").replace("%25", "%")
+
+
 def _flatten_state(tree, prefix=""):
     """flax-style nested dict -> flat {path: np.ndarray}."""
     import flax.serialization as ser
@@ -36,7 +46,8 @@ def _flatten_state(tree, prefix=""):
     def rec(node, path):
         if isinstance(node, dict):
             for k, v in node.items():
-                rec(v, f"{path}/{k}" if path else str(k))
+                k = _esc(str(k))
+                rec(v, f"{path}/{k}" if path else k)
         else:
             out[path] = np.asarray(node)
 
@@ -47,7 +58,7 @@ def _flatten_state(tree, prefix=""):
 def _unflatten_state(flat):
     root: dict = {}
     for path, arr in flat.items():
-        parts = path.split("/")
+        parts = [_unesc(p) for p in path.split("/")]
         node = root
         for p in parts[:-1]:
             node = node.setdefault(p, {})

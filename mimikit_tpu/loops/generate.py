@@ -275,9 +275,12 @@ class EncodeDecodeLoop(GenerateLoopV2):
             net = self.network
             net.before_generate(batch, prompt_idx)
             rf, prior_t = net.rf, np.shape(batch[0])[1]
+            # rf == 0 (e.g. TiedAE has no receptive field): reconstruct the
+            # whole prompt in one pass
+            rf = rf if rf and rf > 0 else prior_t
             tensors = [np.array(x) for x in batch]
             until = 0
-            for t in generate_tqdm(range(rf, prior_t, rf)):
+            for t in generate_tqdm(range(rf, prior_t + (rf == prior_t), rf)):
                 if t < until:
                     continue
                 inputs = tuple(tensor[:, t - rf : t] for tensor in tensors)

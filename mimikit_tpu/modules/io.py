@@ -71,10 +71,15 @@ class Pipeline(nn.Module):
     dropout1d: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False, **_):
+    def __call__(self, x, train: bool = False, tied_kernel=None, **_):
         for m in self.before:
             x = m(x)
-        x = self.core(x, train=train) if self.core_takes_train else self.core(x)
+        if tied_kernel is not None and isinstance(self.core, _Dense):
+            x = self.core(x, tied_kernel=tied_kernel)
+        elif self.core_takes_train:
+            x = self.core(x, train=train)
+        else:
+            x = self.core(x)
         for m in self.after:
             x = m(x)
         if self.dropout > 0:
@@ -98,7 +103,17 @@ class _Dense(nn.Module):
     weight_norm: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, tied_kernel=None):
+        if tied_kernel is not None:
+            # live weight tying: use the (transposed) sibling kernel, keep an
+            # own bias (WaveNet tie_io_weights, reference wavenet_v2.py:247-254)
+            y = x @ tied_kernel
+            if self.use_bias:
+                bias = self.param(
+                    "tied_bias", nn.initializers.zeros, (self.out_dim,)
+                )
+                y = y + bias
+            return y
         layer = nn.Dense(self.out_dim, use_bias=self.use_bias)
         if self.weight_norm:
             layer = nn.WeightNorm(layer)

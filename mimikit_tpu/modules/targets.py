@@ -46,8 +46,12 @@ class OutputWrapper(nn.Module):
     sampler: Optional[nn.Module]
 
     @nn.compact
-    def __call__(self, *inputs, train: bool = False, **sampler_kwargs):
-        params = self.estimator(*inputs, train=train)
+    def __call__(self, *inputs, train: bool = False, tied_kernel=None,
+                 **sampler_kwargs):
+        if tied_kernel is not None:
+            params = self.estimator(*inputs, train=train, tied_kernel=tied_kernel)
+        else:
+            params = self.estimator(*inputs, train=train)
         if not train and self.sampler is not None:
             return self.sampler(params, train=train, **sampler_kwargs)
         return params

@@ -274,9 +274,12 @@ class SampleRNN(ARMWithHidden):
         self.prompt_length = 0
 
     # -- parameter init -----------------------------------------------------
-    def init_params(self, batch_size: int = 1, batch_length: int = 64, rng=None):
+    def init_params(self, batch_size: int = 1, batch_length: Optional[int] = None, rng=None):
         if rng is None:
             rng = self.next_rng()
+        if batch_length is None:
+            # the top tier needs at least one whole frame
+            batch_length = max(64, self.frame_sizes[0])
         T = self.rf + batch_length
         dummy = tuple(
             self._dummy_input(spec, batch_size, T)
@@ -304,6 +307,15 @@ class SampleRNN(ARMWithHidden):
     # -- training forward (stateful wrapper over the pure core) -------------
     def forward(self, inputs: Tuple):
         inputs = tuple(jnp.asarray(x) for x in inputs)
+        if self.training and inputs[0].shape[1] < 2 * self.frame_sizes[0]:
+            # a batch shorter than 2*fs0 yields zero frames in the top tier
+            # (cryptic size-0 gather errors otherwise)
+            raise ValueError(
+                f"input length {inputs[0].shape[1]} too short: SampleRNN with "
+                f"frame_sizes {self.frame_sizes} needs at least "
+                f"{2 * self.frame_sizes[0]} steps (batch_length >= "
+                f"{self.frame_sizes[0]})"
+            )
         self._ensure_params(inputs)
         if self._apply_train is None:
             self._apply_train = jax.jit(

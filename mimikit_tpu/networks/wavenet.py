@@ -215,6 +215,7 @@ class WaveNetCore(nn.Module):
     pad_side: int
     layerwise_inputs: bool
     reverse_layer_order: bool
+    tie_io_weights: bool = False
 
     def setup(self):
         cfgs = (
@@ -237,6 +238,25 @@ class WaveNetCore(nn.Module):
             out.append(y)
         return tuple(out)
 
+    def _tied_kernel(self, j: int):
+        """Transposed input kernel for live io weight tying; None when the
+        shapes don't line up (e.g. embedding inputs, like the reference's
+        name-matched Linear-only tying)."""
+        if not self.tie_io_weights or j >= len(self.input_modules):
+            return None
+        try:
+            p = self.input_modules[j].variables["params"]
+        except Exception:
+            return None
+        leaves = [
+            leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(p)[0]
+            if "kernel" in jax.tree_util.keystr(path) and leaf.ndim == 2
+        ]
+        if len(leaves) != 1:
+            return None
+        return leaves[0].T
+
     def __call__(self, inputs: Tuple, hidden=None, train: bool = False,
                  temperature=None):
         xs = self._adapt_inputs(inputs, train)
@@ -251,11 +271,15 @@ class WaveNetCore(nn.Module):
         if not train:
             y = y[:, self.eval_slice]
             outputs = tuple(
-                mod(y, train=False, temperature=temperature)
-                for mod in self.output_modules
+                mod(y, train=False, temperature=temperature,
+                    tied_kernel=self._tied_kernel(j))
+                for j, mod in enumerate(self.output_modules)
             )
         else:
-            outputs = tuple(mod(y, train=True) for mod in self.output_modules)
+            outputs = tuple(
+                mod(y, train=True, tied_kernel=self._tied_kernel(j))
+                for j, mod in enumerate(self.output_modules)
+            )
         return outputs, ()
 
     # -- fast decode --------------------------------------------------------
@@ -291,8 +315,9 @@ class WaveNetCore(nn.Module):
                 dilated = dilated + xs[0]
         y = skips if self.skips_dim is not None else dilated
         outputs = tuple(
-            mod(y, train=False, temperature=temperature)
-            for mod in self.output_modules
+            mod(y, train=False, temperature=temperature,
+                tied_kernel=self._tied_kernel(j))
+            for j, mod in enumerate(self.output_modules)
         )
         return outputs, tuple(new_buffers)
 
@@ -406,6 +431,7 @@ class WaveNet(ARM):
             pad_side=config.pad_side,
             layerwise_inputs=config.layerwise_inputs,
             reverse_layer_order=config.reverse_layer_order,
+            tie_io_weights=config.tie_io_weights,
         )
         return cls(config=config, core=core)
 

@@ -18,12 +18,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: the suite's cost is dominated by jit
-# compiles of many small unique shapes — cache them across runs
-_cache_dir = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
-)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: do NOT enable the persistent compilation cache here — XLA:CPU AOT
+# artifacts reload with mismatched host machine features in this image and
+# segfault ("Target machine feature +prefer-no-scatter is not supported").
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -79,3 +79,35 @@ def test_ensemble_generation(tmp_path):
     assert out.shape == (1, int(0.5 * base_sr))
     # the generated region extends beyond the prompt
     assert np.any(out[:, 4410:] != 0)
+
+
+def test_nearest_next_neighbor_steps():
+    """NNN: DTW-match a prompt into a corpus, then play successive frames."""
+    corpus = np.random.rand(50, 8).astype(np.float32)
+    nnn = mmk.NearestNextNeighbor(feature=lambda x: x, snd=corpus)
+    prompt_frames = corpus[10:14]  # exact subsequence -> should match at 14
+    out1 = nnn.generate_step((prompt_frames[None],), t=100)
+    assert out1.shape == (1, 1, 8)
+    start = nnn._starts[0] - 1
+    # consecutive step continues the corpus walk
+    out2 = nnn.generate_step((prompt_frames[None],), t=101)
+    assert np.allclose(out2[0, 0], corpus[start + 1])
+
+
+def test_voting_ensemble_weights():
+    class Const:
+        def __init__(self, v):
+            self.v = v
+
+        def before_generate(self, *a):
+            pass
+
+        def after_generate(self, *a):
+            return None
+
+        def generate_step(self, inputs, *, t=0, **kw):
+            return np.full((1, 1), self.v, np.float32)
+
+    ens = mmk.VotingEnsemble([Const(1.0), Const(3.0)], weights=[1, 1])
+    out = ens.generate_step((np.zeros((1, 4)),), t=0)
+    assert np.allclose(out, 2.0)  # mean of 1 and 3

@@ -1,154 +1,22 @@
-"""Numeric parity against torch reference semantics with transferred weights.
+"""Torch-numerics parity — executed in an isolated subprocess.
 
-The BASELINE requires generation to match the PyTorch reference given
-identical seeds/weights.  RNG streams cannot match across frameworks, but
-every deterministic computation can: these tests copy weights between torch
-(CPU) modules implementing the reference's exact ops and our flax modules,
-and require allclose outputs.
+torch and jaxlib both bundle LLVM/OpenMP; loading torch into the main suite
+process makes later XLA:CPU compilations segfault. The actual assertions
+live in ``torch_parity_impl.py``.
 """
-import numpy as np
-import pytest
-
-torch = pytest.importorskip("torch")
-
-import mimikit_tpu as mmk
+import os
+import subprocess
+import sys
 
 
-def test_mulaw_matches_torch_reference_formula():
-    """The reference's torch mu-law (functionals.py:330-338) vs our numpy/jnp."""
-    x = np.clip(np.random.randn(1000).astype(np.float32) * 0.5, -1, 1)
-    q, C = 256, 0.7
-
-    xt = torch.from_numpy(x)
-    mu = torch.tensor(q - 1.0)
-    Ct = torch.tensor(C)
-    x_mu = torch.sign(xt) * torch.log1p(mu * torch.abs(xt) * Ct) / torch.log1p(mu * Ct)
-    ref = ((x_mu + 1) / 2 * mu + 0.5).to(torch.int64).numpy()
-
-    ours = mmk.MuLawCompress(q, C)(x)
-    assert np.array_equal(ref, np.asarray(ours))
-
-    # expand
-    yt = (torch.from_numpy(ref).to(torch.float) / mu) * 2 - 1.0
-    ref_exp = (
-        torch.sign(yt) * (torch.exp(torch.abs(yt) * torch.log1p(mu * Ct)) - 1.0) / (mu * Ct)
-    ).numpy()
-    ours_exp = mmk.MuLawExpand(q, C)(ref)
-    assert np.allclose(ref_exp, np.asarray(ours_exp), atol=1e-6)
-
-
-def test_dilated_gated_conv_matches_torch():
-    """WNLayer's gated dilated conv vs torch Conv1d with the same weights."""
-    import jax
-
-    from mimikit_tpu.networks.wavenet import WNLayer
-
-    B, T, D_in, D = 2, 20, 8, 12
-    k, dil = 2, 4
-    x = np.random.randn(B, T, D_in).astype(np.float32)
-
-    layer = WNLayer(
-        input_dim=D_in, dims_dilated=(D,), pad_side=0, kernel_size=k,
-        dilation=dil, act_g="Sigmoid",
+def test_torch_parity_subprocess():
+    impl = os.path.join(os.path.dirname(os.path.abspath(__file__)), "torch_parity_impl.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run(
+        [sys.executable, "-m", "pytest", impl, "-q", "-x"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
     )
-    variables = layer.init(jax.random.PRNGKey(0), (x,), (), None)
-    y_flax, _ = layer.apply(variables, (x,), (), None)
-
-    # torch replica: Conv1d(D_in -> 2D, k, dilation) + tanh*sigmoid gate
-    kernel = np.asarray(variables["params"]["conv_dil0"]["kernel"])  # (k, in, out)
-    bias = np.asarray(variables["params"]["conv_dil0"]["bias"])
-    conv = torch.nn.Conv1d(D_in, 2 * D, k, dilation=dil, bias=True)
-    with torch.no_grad():
-        conv.weight.copy_(torch.from_numpy(kernel.transpose(2, 1, 0)))
-        conv.bias.copy_(torch.from_numpy(bias))
-    xt = torch.from_numpy(x.transpose(0, 2, 1))  # (B, C, T)
-    fg = conv(xt)
-    f, g = torch.chunk(fg, 2, dim=1)
-    y_t = (torch.tanh(f) * torch.sigmoid(g)).detach().numpy().transpose(0, 2, 1)
-
-    assert y_flax.shape == y_t.shape
-    assert np.allclose(np.asarray(y_flax), y_t, atol=1e-5)
-
-
-def test_dense_matches_torch_linear():
-    import jax
-    import flax.linen as nn
-
-    x = np.random.randn(3, 7).astype(np.float32)
-    dense = nn.Dense(5)
-    variables = dense.init(jax.random.PRNGKey(0), x)
-    y_flax = dense.apply(variables, x)
-
-    lin = torch.nn.Linear(7, 5)
-    with torch.no_grad():
-        lin.weight.copy_(
-            torch.from_numpy(np.asarray(variables["params"]["kernel"]).T)
-        )
-        lin.bias.copy_(torch.from_numpy(np.asarray(variables["params"]["bias"])))
-    y_t = lin(torch.from_numpy(x)).detach().numpy()
-    assert np.allclose(np.asarray(y_flax), y_t, atol=1e-5)
-
-
-def test_lstm_cell_matches_torch():
-    """flax OptimizedLSTMCell vs torch LSTMCell with transferred weights."""
-    import jax
-    import flax.linen as nn
-
-    H, B = 6, 3
-    x = np.random.randn(B, H).astype(np.float32)
-    cell = nn.OptimizedLSTMCell(features=H)
-    carry0 = cell.initialize_carry(jax.random.PRNGKey(0), (B, H))
-    variables = cell.init(jax.random.PRNGKey(0), carry0, x)
-    (c1, h1), y = cell.apply(variables, carry0, x)
-
-    p = variables["params"]
-    # flax gate order: i, f, g, o ; torch: i, f, g, o as well
-    def cat(parts):
-        return np.concatenate(parts, axis=0)
-
-    w_ih = cat([np.asarray(p[f"i{g}"]["kernel"]).T for g in "ifgo"])
-    w_hh = cat([np.asarray(p[f"h{g}"]["kernel"]).T for g in "ifgo"])
-    b_ih = cat(
-        [
-            np.asarray(p[f"i{g}"]["bias"])
-            if "bias" in p[f"i{g}"]
-            else np.zeros(H, np.float32)
-            for g in "ifgo"
-        ]
-    )
-    b_hh = cat([np.asarray(p[f"h{g}"]["bias"]) for g in "ifgo"])
-
-    tc = torch.nn.LSTMCell(H, H)
-    with torch.no_grad():
-        tc.weight_ih.copy_(torch.from_numpy(w_ih))
-        tc.weight_hh.copy_(torch.from_numpy(w_hh))
-        tc.bias_ih.copy_(torch.from_numpy(b_ih))
-        tc.bias_hh.copy_(torch.from_numpy(b_hh))
-    h_t, c_t = tc(
-        torch.from_numpy(x),
-        (torch.from_numpy(np.asarray(carry0[1])), torch.from_numpy(np.asarray(carry0[0]))),
-    )
-    assert np.allclose(np.asarray(h1), h_t.detach().numpy(), atol=1e-5)
-    assert np.allclose(np.asarray(c1), c_t.detach().numpy(), atol=1e-5)
-
-
-def test_stft_matches_torch_stft():
-    """Our framing vs torch.stft (the reference's torch path)."""
-    n_fft, hop = 256, 64
-    x = np.random.randn(2048).astype(np.float32)
-    S_ours = np.asarray(
-        mmk.features.dsp.stft_np(x, n_fft, hop, True, "hann")
-    )  # (T, F) complex
-
-    S_torch = torch.stft(
-        torch.from_numpy(x),
-        n_fft,
-        hop_length=hop,
-        window=torch.hann_window(n_fft),
-        center=True,
-        pad_mode="constant",
-        return_complex=True,
-    ).numpy().T  # -> (T, F)
-    assert S_ours.shape == S_torch.shape
-    assert np.allclose(np.abs(S_ours), np.abs(S_torch), atol=1e-3)
-    assert np.allclose(S_ours.real, S_torch.real, atol=1e-3)
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-2000:]

@@ -253,3 +253,58 @@ def test_rf_should_be_correct(given_blocks):
     wn3 = WaveNet.from_config(given_config)
     with pytest.raises(Exception):
         wn3.forward((inputs_(2, EXPECTED_RF - 1, F),))
+
+
+def test_tie_io_weights_shares_kernel():
+    """With tie_io_weights, the output head reads the transposed input
+    kernel (live tying: no output kernel param, grads flow to the input)."""
+    import jax
+    import jax.numpy as jnp
+
+    io = IOSpec.magspec_io(IOSpec.MagSpecIOConfig(n_fft=256, hop_length=64))
+    wn = WaveNet.from_config(
+        WaveNet.Config(
+            io_spec=io, blocks=(3,), dims_dilated=(32,), tie_io_weights=True
+        )
+    )
+    F = io.inputs[0].elem_type.size
+    x = np.random.rand(2, 16, F).astype(np.float32)
+    out = wn.forward((x,))
+    assert out[0].shape[-1] == F
+
+    flat = jax.tree_util.tree_flatten_with_path(wn.params)[0]
+    out_kernels = [
+        p for p, _ in flat
+        if "output_modules_0" in jax.tree_util.keystr(p)
+        and "kernel" in jax.tree_util.keystr(p)
+    ]
+    assert out_kernels == []  # no independent output kernel
+
+    def loss(p):
+        o, _ = wn.module.apply(
+            {"params": p}, (jnp.asarray(x),), None, True,
+            rngs={"dropout": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(0)},
+        )
+        return (o[0] ** 2).mean()
+
+    g = jax.grad(loss)(wn.params)
+    in_kernel = next(
+        l for p, l in jax.tree_util.tree_flatten_with_path(g)[0]
+        if "input_modules_0" in jax.tree_util.keystr(p)
+        and "kernel" in jax.tree_util.keystr(p)
+    )
+    assert bool(jnp.any(in_kernel != 0))
+
+
+def test_tie_io_weights_noop_for_mulaw_embedding():
+    """Embedding inputs aren't tied (the reference's Linear-name matching
+    finds nothing either) — the net must still build and run."""
+    io = embedding_io()
+    wn = WaveNet.from_config(
+        WaveNet.Config(
+            io_spec=io, blocks=(3,), dims_dilated=(32,), tie_io_weights=True
+        )
+    )
+    x = np.random.randint(0, 64, (2, 16))
+    out = wn.forward((x,))
+    assert out[0].shape[-1] == 64
