@@ -263,8 +263,17 @@ class TrainARMLoop:
         module = self.net.module
         loss_fn = self.loss_fn
         tx = self.opt
+        # trainer_kwargs={"matmul_precision": "bfloat16"} trades precision for
+        # MXU throughput on the whole step (weights stay f32)
+        precision = self.train_cfg.trainer_kwargs.get("matmul_precision")
 
         def step(params, opt_state, hidden, inputs, targets, rng):
+            if precision is not None:
+                with jax.default_matmul_precision(precision):
+                    return _step_body(params, opt_state, hidden, inputs, targets, rng)
+            return _step_body(params, opt_state, hidden, inputs, targets, rng)
+
+        def _step_body(params, opt_state, hidden, inputs, targets, rng):
             def compute_loss(p):
                 outputs, new_hidden = module.apply(
                     {"params": p},
@@ -334,9 +343,15 @@ class TrainARMLoop:
         hidden = None
         interrupted = False
         epoch = self.start_epoch
+        # a host sync per step would cost a device round trip each time (the
+        # reference's per-batch .item() equivalent); instead metrics
+        # accumulate on device and the NaN guard fires periodically
+        nan_check_every = int(cfg.trainer_kwargs.get("nan_check_every", 25))
         try:
             for epoch in range(self.start_epoch + 1, cfg.max_epochs + 1):
                 self.metrics.on_epoch_start()
+                metric_sums = None
+                n_batches = 0
                 bar = tqdm(
                     self.loader,
                     total=len(self.loader),
@@ -364,11 +379,24 @@ class TrainARMLoop:
                         self.net.next_rng(),
                     )
                     self.global_step += 1
-                    loss_val = float(d["loss"])
-                    self.metrics.check_loss(loss_val)
-                    self.metrics.log_output(d)
+                    n_batches += 1
+                    metric_sums = (
+                        d
+                        if metric_sums is None
+                        else jax.tree_util.tree_map(
+                            lambda a, b: a + b, metric_sums, d
+                        )
+                    )
+                    if (batch_idx % nan_check_every) == 0:
+                        self.metrics.check_loss(float(d["loss"]))
                 self.net.params = params
-                self.metrics.flush_epoch(epoch)
+                if metric_sums is not None:
+                    avgs = {
+                        k: float(v) / n_batches for k, v in metric_sums.items()
+                    }
+                    self.metrics.check_loss(avgs.get("loss", 0.0))
+                    self.metrics.log_output(avgs)
+                self.metrics.flush_epoch(epoch, logger=self._loss_logger())
                 for cb in self.callbacks:
                     if isinstance(cb, MMKCheckpoint):
                         cb.on_train_epoch_end(self, epoch, self.global_step)
@@ -408,6 +436,16 @@ class TrainARMLoop:
         return jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), hidden_shape
         )
+
+    def _loss_logger(self):
+        """Optional h5 metric logging: trainer_kwargs={"loss_logs_file": path}
+        (the reference's LossLogger surface, ``logger.py:93-138``)."""
+        path = self.train_cfg.trainer_kwargs.get("loss_logs_file")
+        if not path:
+            return None
+        from .logger import LossLogger
+
+        return LossLogger(os.path.join(self.root_dir, path))
 
     def on_train_epoch_end(self, *args):
         """Overridable per-epoch hook (tests monkeypatch this)."""

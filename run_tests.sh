@@ -1,0 +1,23 @@
+#!/bin/bash
+# Full test suite, sharded across fresh processes.
+#
+# A single long-lived process accumulates XLA:CPU compiler state that can
+# segfault deep into the run (see tests/conftest.py); per-module cache
+# clearing mitigates it, and sharding makes the suite robust regardless.
+set -e
+cd "$(dirname "$0")"
+ulimit -s unlimited 2>/dev/null || true
+
+SHARD1="tests/test_config.py tests/test_utils.py tests/test_fft_alignment.py \
+tests/test_io_modules.py tests/test_ops.py tests/test_no_nan.py \
+tests/test_extract.py tests/test_views.py tests/test_parallel.py"
+SHARD2="tests/test_sample_rnn.py tests/test_gen_loop.py tests/test_train_loop.py \
+tests/test_demos.py tests/test_ensemble.py tests/test_torch_parity.py"
+SHARD3="tests/test_wavenet.py tests/test_transformers.py tests/test_tied_autoencoder.py"
+SHARD4="tests/test_seq2seq.py"
+
+for shard in "$SHARD1" "$SHARD2" "$SHARD3" "$SHARD4"; do
+    echo "=== shard: $shard"
+    python -m pytest $shard -q "$@"
+done
+echo "ALL SHARDS GREEN"

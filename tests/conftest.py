@@ -23,3 +23,14 @@ jax.config.update("jax_platforms", "cpu")
 # segfault ("Target machine feature +prefer-no-scatter is not supported").
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap cumulative XLA:CPU compiler state: hundreds of compiles in one
+    process eventually segfault inside backend_compile (observed at ~150
+    tests in); clearing the executable caches between modules avoids it."""
+    yield
+    jax.clear_caches()
