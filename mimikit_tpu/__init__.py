@@ -28,3 +28,11 @@ from . import parallel
 from . import ui
 from .views import *
 from . import demos
+
+
+def __getattr__(name):
+    if name == "MMK_STYLE_SHEET":
+        from .ui.style_sheet import get_style_sheet
+
+        return get_style_sheet()
+    raise AttributeError(name)

@@ -14,6 +14,9 @@ from ..checkpoint import Checkpoint
 __all__ = [
     "is_notebook",
     "tqdm",
+    "EpochProgressBarCallback",
+    "TrainingProgressBar",
+    "GradNormCallback",
     "MMKCheckpoint",
     "GenerateCallback",
 ]
@@ -38,6 +41,59 @@ except ImportError:  # tqdm optional: plain passthrough
 
     def tqdm(it, **kwargs):  # type: ignore
         return it
+
+
+class EpochProgressBarCallback:
+    """Epoch-level tqdm bar (reference ``callbacks.py:39-51``); the train
+    loop drives per-batch bars itself, this adds the outer epoch bar."""
+
+    def __init__(self):
+        self.epoch_bar = None
+
+    def on_train_start(self, max_epochs: int):
+        self.epoch_bar = tqdm(
+            range(1, max_epochs), unit="epoch", position=0, leave=False,
+            dynamic_ncols=True,
+        )
+
+    def on_train_epoch_end(self, *a, **k):
+        if self.epoch_bar is not None:
+            self.epoch_bar.update()
+
+
+class TrainingProgressBar:
+    """1s-throttled batch bar factory (reference ``callbacks.py:54-93``)."""
+
+    def __init__(self, mininterval: float = 1.0):
+        self.mininterval = mininterval
+
+    def bar(self, iterable, total=None, desc=None):
+        return tqdm(
+            iterable, total=total, desc=desc, leave=True, dynamic_ncols=True,
+            smoothing=0, mininterval=self.mininterval,
+        )
+
+
+class GradNormCallback:
+    """Collects global gradient norms (reference ``callbacks.py:96-102``).
+    Wire by calling ``on_after_backward(grads)`` from a custom step, or use
+    ``grad_norm`` directly."""
+
+    def __init__(self):
+        self.gradnorms = []
+
+    @staticmethod
+    def grad_norm(grads, ord=1.0):
+        import jax
+        import jax.numpy as jnp
+
+        leaves = jax.tree_util.tree_leaves(grads)
+        if ord == 1.0:
+            return sum(jnp.abs(l).sum() for l in leaves)
+        return sum((jnp.abs(l) ** ord).sum() for l in leaves) ** (1.0 / ord)
+
+    def on_after_backward(self, grads) -> None:
+        self.gradnorms.append(float(self.grad_norm(grads)))
 
 
 class MMKCheckpoint:

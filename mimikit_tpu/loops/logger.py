@@ -16,7 +16,7 @@ import numpy as np
 
 from ..features.audio_io import write_audio
 
-__all__ = ["EpochMetrics", "LossLogger", "AudioLogger"]
+__all__ = ["EpochMetrics", "LoggingHooks", "LossLogger", "AudioLogger"]
 
 
 class EpochMetrics:
@@ -158,3 +158,7 @@ class AudioLogger:
             ipd.display(ipd.Audio(audio, rate=self.sr))
         except Exception:
             pass
+
+
+# API-compat alias: the reference's epoch-metric mixin name
+LoggingHooks = EpochMetrics

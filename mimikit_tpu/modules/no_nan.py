@@ -15,7 +15,7 @@ from __future__ import annotations
 from contextlib import contextmanager
 from typing import Callable
 
-__all__ = ["checked_apply", "debug_nans", "assert_all_finite"]
+__all__ = ["checked_apply", "debug_nans", "assert_all_finite", "no_nan_hooks"]
 
 
 def checked_apply(fn: Callable, *args, **kwargs):
@@ -54,3 +54,18 @@ def assert_all_finite(tree, name: str = "tree"):
             raise RuntimeError(
                 f"non-finite values in {name} at {jax.tree_util.keystr(path)}"
             )
+
+
+def no_nan_hooks(network):
+    """API-compat wrapper of the reference's hook installer
+    (``no_nan_hooks.py:18-33``): wraps ``network.forward`` with a host-side
+    finite check on its outputs."""
+    original = network.forward
+
+    def checked_forward(*args, **kwargs):
+        out = original(*args, **kwargs)
+        assert_all_finite(out, f"{type(network).__name__}.forward outputs")
+        return out
+
+    network.forward = checked_forward
+    return network

@@ -11,3 +11,11 @@ from .config_view import *
 from .widgets import *
 from .file_picker import *
 from .style_sheet import *
+
+
+def __getattr__(name):
+    if name == "MMK_STYLE_SHEET":
+        from .style_sheet import get_style_sheet
+
+        return get_style_sheet()
+    raise AttributeError(name)

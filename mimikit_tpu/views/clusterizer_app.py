@@ -38,7 +38,18 @@ from .clusters import (
     spectral_clustering_view,
 )
 from .factory import auto_config_view
-from .functionals import magspec_view, melspec_view, mfcc_view
+from .functionals import (
+    autoconvolve_view,
+    chroma_view,
+    f0_filter_view,
+    factor_analysis_view,
+    magspec_view,
+    melspec_view,
+    mfcc_view,
+    nearest_neighbor_filter_view,
+    nmf_view,
+    pca_view,
+)
 
 __all__ = [
     "Meta",
@@ -85,16 +96,16 @@ TRANSFORMS = {
     "mfcc": Meta(MFCC, mfcc_view, [MagSpec, MelSpec], True),
     "chroma": Meta(
         __import__("mimikit_tpu.features.functionals", fromlist=["Chroma"]).Chroma,
-        _gv("Chroma"), [MagSpec], True,
+        chroma_view, [MagSpec], True,
     ),
-    "auto-convolve": Meta(AutoConvolve, _gv("AutoConvolve"), [Any], False),
-    "f0 filter": Meta(F0Filter, _gv("F0Filter"), [MagSpec], False),
+    "auto-convolve": Meta(AutoConvolve, autoconvolve_view, [Any], False),
+    "f0 filter": Meta(F0Filter, f0_filter_view, [MagSpec], False),
     "nearest neighbor filter": Meta(
-        NearestNeighborFilter, _gv("NearestNeighborFilter"), [Any]
+        NearestNeighborFilter, nearest_neighbor_filter_view, [Any]
     ),
-    "pca": Meta(PCA, _gv("PCA"), [Any]),
-    "nmf": Meta(NMF, _gv("NMF"), [Any]),
-    "factor analysis": Meta(FactorAnalysis, _gv("FactorAnalysis"), [Any]),
+    "pca": Meta(PCA, pca_view, [Any]),
+    "nmf": Meta(NMF, nmf_view, [Any]),
+    "factor analysis": Meta(FactorAnalysis, factor_analysis_view, [Any]),
 }
 
 CLUSTERINGS = {

@@ -9,6 +9,15 @@ __all__ = [
     "stft_view",
     "melspec_view",
     "mfcc_view",
+    "chroma_view",
+    "autoconvolve_view",
+    "f0_filter_view",
+    "nearest_neighbor_filter_view",
+    "harmonic_source_view",
+    "percussive_source_view",
+    "pca_view",
+    "nmf_view",
+    "factor_analysis_view",
     "functional_view",
 ]
 
@@ -48,3 +57,53 @@ def melspec_view(cfg):
 
 def mfcc_view(cfg):
     return auto_config_view(cfg, title="MFCC", fields=("n_mfcc", "dct_type", "lifter"))
+
+
+def chroma_view(cfg):
+    return auto_config_view(cfg, title="Chroma", fields=("n_chroma",))
+
+
+def autoconvolve_view(cfg):
+    return auto_config_view(cfg, title="AutoConvolve", fields=("window_size",))
+
+
+def f0_filter_view(cfg):
+    return auto_config_view(
+        cfg, title="F0Filter",
+        fields=("n_overtone", "n_undertone", "soft", "normalize"),
+    )
+
+
+def nearest_neighbor_filter_view(cfg):
+    return auto_config_view(
+        cfg, title="NearestNeighborFilter",
+        fields=("n_neighbors", "metric", "aggregate"),
+    )
+
+
+def harmonic_source_view(cfg):
+    return auto_config_view(
+        cfg, title="HarmonicSource", fields=("kernel_size", "power", "margin")
+    )
+
+
+def percussive_source_view(cfg):
+    return auto_config_view(
+        cfg, title="PercussiveSource", fields=("kernel_size", "power", "margin")
+    )
+
+
+def pca_view(cfg):
+    return auto_config_view(cfg, title="PCA", fields=("n_components",))
+
+
+def nmf_view(cfg):
+    return auto_config_view(
+        cfg, title="NMF", fields=("n_components", "tol", "max_iter")
+    )
+
+
+def factor_analysis_view(cfg):
+    return auto_config_view(
+        cfg, title="FactorAnalysis", fields=("n_components", "tol", "max_iter")
+    )
