@@ -172,6 +172,7 @@ class Database:
         shuffle: bool = False,
         sampler: Optional[Iterable[int]] = None,
         batch_sampler: Optional[Iterable[Tuple[int, ...]]] = None,
+        sampling_jitter: int = 0,
         seed: Optional[int] = None,
         **_ignored,
     ) -> "DataLoader":
@@ -184,7 +185,8 @@ class Database:
         """
         return DataLoader(
             self, batch, batch_size=batch_size, shuffle=shuffle,
-            sampler=sampler, batch_sampler=batch_sampler, seed=seed,
+            sampler=sampler, batch_sampler=batch_sampler,
+            sampling_jitter=sampling_jitter, seed=seed,
         )
 
 
@@ -197,6 +199,7 @@ class DataLoader:
         shuffle: bool = False,
         sampler=None,
         batch_sampler=None,
+        sampling_jitter: int = 0,
         seed: Optional[int] = None,
     ):
         self.db = db
@@ -205,6 +208,7 @@ class DataLoader:
         self.shuffle = shuffle
         self.sampler = sampler
         self.batch_sampler = batch_sampler
+        self.sampling_jitter = sampling_jitter
         self._rng = np.random.RandomState(seed)
         self.leaves: list = []
         process_batch(
@@ -261,6 +265,15 @@ class DataLoader:
 
     def __iter__(self):
         for idx in self._index_batches():
+            if self.sampling_jitter:
+                # jitter window starts (reference serve(sampling_jitter=...))
+                j = self._rng.randint(
+                    -self.sampling_jitter, self.sampling_jitter + 1, len(idx)
+                )
+                idx = tuple(
+                    int(np.clip(i + dj, 0, max(0, self.n_items - 1)))
+                    for i, dj in zip(idx, j)
+                )
             items = [self._load_item(i) for i in idx]
             yield self._stack(items)
 

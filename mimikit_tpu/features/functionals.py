@@ -922,6 +922,17 @@ class Envelop(Functional):
             e = e / max(e.max(), 1e-12)
         return e.astype(np.float32)
 
+    def jax_func(self, inputs):
+        import jax.numpy as jnp
+
+        S = self.fft.jax_func(inputs)
+        e = S.sum(axis=-1)
+        if self.interp_to_time_domain:
+            e = Interpolate(length=inputs.shape[-1]).jax_func(e)
+        if self.normalize:
+            e = e / jnp.maximum(e.max(), 1e-12)
+        return e.astype(jnp.float32)
+
     @property
     def inv(self):
         return Identity()

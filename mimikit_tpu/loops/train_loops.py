@@ -116,7 +116,9 @@ class TrainARMLoop:
             )
         else:
             loader_kwargs = dict(batch_size=cfg.batch_size, shuffle=True)
-        return dataset.serve(batch, **loader_kwargs)
+        return dataset.serve(
+            batch, sampling_jitter=cfg.sampling_jitter, **loader_kwargs
+        )
 
     @classmethod
     def get_optimizer(cls, net, dl, cfg: TrainARMConfig):
