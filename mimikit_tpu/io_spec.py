@@ -159,7 +159,9 @@ class Objective(Config, type_field=False):
 
     def get_sampler(self):
         if str(self.objective_type) == "categorical_dist":
-            return CategoricalSampler()
+            return CategoricalSampler(
+                impl=str(self.params.get("sampler_impl", "jax"))
+            )
         return None
 
 
@@ -264,6 +266,9 @@ class IOSpec(Config, type_field=False):
         mlp_dim: int = 128
         n_mlp_layers: int = 0
         min_temperature: float = 1e-4
+        # 'pallas' fuses temperature+gumbel+argmax on-chip; use for BULK
+        # sampling — the scan decode is faster with the default 'jax'
+        sampler_impl: str = "jax"
 
     @staticmethod
     def mulaw_io(config: "IOSpec.MuLawIOConfig", extractor: Extractor = None):
@@ -298,7 +303,14 @@ class IOSpec(Config, type_field=False):
                         n_hidden_layers=c.n_mlp_layers,
                         min_temperature=c.min_temperature,
                     ),
-                    objective=Objective("categorical_dist"),
+                    objective=Objective(
+                        "categorical_dist",
+                        params=(
+                            {"sampler_impl": c.sampler_impl}
+                            if c.sampler_impl != "jax"
+                            else {}
+                        ),
+                    ),
                 ).bind_to(extractor),
             ),
         )

@@ -24,6 +24,18 @@ def _as_array(temperature, logits):
 
 
 class CategoricalSampler(nn.Module):
+    """argmax (no temperature) or tempered categorical sampling.
+
+    ``impl='pallas'`` routes through the fused TPU kernel
+    (``ops/pallas_kernels.categorical``: gumbel-argmax with the on-chip
+    PRNG); scalar temperatures only — per-example temperature tuples fall
+    back to the jax path.  NOTE: measured on v5e, the default ``jax`` path
+    is much faster *inside the decode scan* (XLA fuses the sampling into the
+    loop body; a per-step pallas_call cannot) — 'pallas' is for bulk
+    sampling of large batches outside the scan.
+    """
+
+    impl: str = "jax"
     sampling_params = frozenset({"temperature"})
 
     @nn.compact
@@ -32,8 +44,13 @@ class CategoricalSampler(nn.Module):
             return logits
         if temperature is None:
             return jnp.argmax(logits, axis=-1)
-        t = _as_array(temperature, logits)
         rng = self.make_rng("sample")
+        if self.impl == "pallas" and jnp.ndim(jnp.asarray(temperature)) == 0:
+            from ..ops import pallas_kernels as pk
+
+            seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1, jnp.int32)
+            return pk.categorical(logits, temperature, seed)
+        t = _as_array(temperature, logits)
         # categorical over the last axis; batch dims kept
         return jax.random.categorical(rng, logits / t, axis=-1)
 

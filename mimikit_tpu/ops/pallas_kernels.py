@@ -139,3 +139,74 @@ def mulaw_expand(x, q_levels: int = 256, compression: float = 1.0,
     tiled, n = _pad_to_tile(x, fill=0)
     out = _expand_call(tiled.shape[0], q_levels, compression, interpret)(tiled)
     return out.reshape(-1)[:n].reshape(x.shape)
+
+
+# ---------------------------------------------------------------------------
+# fused categorical sampling (the decode hot path's sampler): temperature
+# scaling + gumbel noise from the TPU's native PRNG + argmax, one VMEM pass
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _categorical_call(B, Q, interpret):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(seed_ref, logits_ref, temp_ref, out_ref):
+        pltpu.prng_seed(seed_ref[0])
+        # bitcast to uint32 BEFORE shifting: an arithmetic shift of signed
+        # bits sign-extends into the exponent and mints NaNs
+        bits = pltpu.bitcast(pltpu.prng_random_bits((B, Q)), jnp.uint32)
+        # uint32 -> uniform in (0, 1): set exponent to 1.0..2.0 and subtract
+        fbits = pltpu.bitcast(
+            (bits >> 9) | jnp.uint32(0x3F800000), jnp.float32
+        )
+        u = fbits - 1.0
+        u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+        gumbel = -jnp.log(-jnp.log(u))
+        t = temp_ref[0]
+        scaled = logits_ref[:] / t + gumbel
+        out_ref[:] = jnp.argmax(scaled, axis=-1, keepdims=True).astype(
+            jnp.int32
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+
+def categorical(logits, temperature, seed, interpret=None):
+    """Sample class indices from (..., Q) logits with temperature via the
+    gumbel-argmax trick, fused in one Pallas kernel.
+
+    ``seed`` is an int32 scalar (fold the step counter in upstream).
+    Returns (...,) int32.
+    """
+    import jax.numpy as jnp
+
+    if interpret is None:
+        interpret = not available()
+    lead = logits.shape[:-1]
+    Q = logits.shape[-1]
+    B = int(np.prod(lead)) if lead else 1
+    flat = logits.reshape(B, Q).astype(jnp.float32)
+    # pad lanes to a multiple of 128 with -inf so padding never wins
+    Qp = ((Q + _LANE - 1) // _LANE) * _LANE
+    Bp = ((B + _SUBLANE - 1) // _SUBLANE) * _SUBLANE
+    if Qp != Q or Bp != B:
+        flat = jnp.pad(
+            flat, ((0, Bp - B), (0, Qp - Q)), constant_values=-jnp.inf
+        )
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    temp_arr = jnp.asarray(temperature, jnp.float32).reshape(1)
+    out = _categorical_call(Bp, Qp, interpret)(seed_arr, flat, temp_arr)
+    return out[:B, 0].reshape(lead)
