@@ -410,10 +410,14 @@ class SampleRNN(ARMWithHidden):
         )
         return hidden, tier_out
 
-    def make_decoder(self, prior_t: int, n_steps: int):
+    def make_decoder(self, prior_t: int, n_steps: int, mesh=None):
         """Build a jitted decode fn: (params, prompt_bufs, key, temperature)
-        -> filled buffers.  prompt_bufs: tuple of (B, prior_t + n_steps)."""
-        key_shape = (prior_t, n_steps)
+        -> filled buffers.  prompt_bufs: tuple of (B, prior_t + n_steps).
+
+        With ``mesh``, the stream batch is sharded over the 'data' axis —
+        generation scales across chips with zero collectives (streams are
+        independent)."""
+        key_shape = (prior_t, n_steps, id(mesh) if mesh is not None else None)
         if key_shape in self._decoders:
             return self._decoders[key_shape]
         core = self.module
@@ -457,13 +461,26 @@ class SampleRNN(ARMWithHidden):
             (bufs, *_), _ = jax.lax.scan(body, (bufs, hidden, tier_out, key), ts)
             return bufs
 
-        fn = jax.jit(decode)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            fn = jax.jit(
+                decode,
+                in_shardings=(repl, data, repl, repl),
+                out_shardings=data,
+            )
+        else:
+            fn = jax.jit(decode)
         self._decoders[key_shape] = fn
         return fn
 
-    def generate(self, prompts: Tuple, n_steps: int, temperature=None, rng=None):
+    def generate(self, prompts: Tuple, n_steps: int, temperature=None, rng=None,
+                 mesh=None):
         """Decode ``n_steps`` new samples after each prompt.  Returns tuple of
-        (B, prior_t + n_steps) buffers (prompt + generation)."""
+        (B, prior_t + n_steps) buffers (prompt + generation).  Pass ``mesh``
+        to shard the streams over its 'data' axis."""
         prompts = tuple(jnp.asarray(p) for p in prompts)
         self._ensure_params(prompts)
         B, prior_t = prompts[0].shape[0], prompts[0].shape[1]
@@ -475,13 +492,11 @@ class SampleRNN(ARMWithHidden):
         )
         if rng is None:
             rng = self.next_rng()
-        dec = self.make_decoder(prior_t, n_steps)
-        t_arg = temperature if temperature is not None else np.nan
-        # None temperature means argmax — handled statically per decoder
+        dec = self.make_decoder(prior_t, n_steps, mesh=mesh)
         if temperature is None:
-            dec = self.make_decoder(prior_t, n_steps)
+            # None temperature means argmax — handled statically per decoder
             return dec(self.params, bufs, rng, None)
-        return dec(self.params, bufs, rng, jnp.asarray(t_arg, jnp.float32))
+        return dec(self.params, bufs, rng, jnp.asarray(temperature, jnp.float32))
 
     # -- step-wise parity API (reference semantics, used by tests/loops) ----
     def before_generate(self, prompts: Tuple, batch_index: int) -> None:
