@@ -27,8 +27,21 @@ __all__ = [
 ]
 
 
+class _LabelingMixin:
+    """Shared surface of every clustering functional: ``fit`` stores
+    ``labels_``/``K_``; calling it runs fit and returns the labels."""
+
+    def np_func(self, inputs):
+        self.fit(np.asarray(inputs))
+        return self.labels_
+
+    @property
+    def inv(self) -> "Functional":
+        return Identity()
+
+
 @dtc.dataclass
-class QCluster(Functional):
+class QCluster(_LabelingMixin, Functional):
     """Core detection by kNN in-degree quantile, then core-graph connected
     components; non-core points attach to their nearest core."""
 
@@ -92,17 +105,9 @@ class QCluster(Functional):
         self.K_, self.labels_, self.is_core_ = K, labels, is_core
         return self
 
-    def np_func(self, inputs):
-        self.fit(np.asarray(inputs))
-        return self.labels_
-
-    @property
-    def inv(self) -> "Functional":
-        return Identity()
-
 
 @dtc.dataclass
-class GCluster(Functional):
+class GCluster(_LabelingMixin, Functional):
     """'Grid of means': Adam-optimized means minimizing mean distance to the
     data minus half their spread, then greedy best-match label assignment.
     The optimization loop runs jitted on device (optax Adam)."""
@@ -172,17 +177,9 @@ class GCluster(Functional):
         self.labels_ = labels
         return self
 
-    def np_func(self, inputs):
-        self.fit(np.asarray(inputs))
-        return self.labels_
-
-    @property
-    def inv(self) -> "Functional":
-        return Identity()
-
 
 @dtc.dataclass
-class HCluster(Functional):
+class HCluster(_LabelingMixin, Functional):
     """Iterative nearest-merge hierarchy; labels matrix over levels."""
 
     max_iter: int = 32
@@ -219,38 +216,23 @@ class HCluster(Functional):
         self.labels_ = LBS
         return self
 
-    def np_func(self, inputs):
-        self.fit(np.asarray(inputs))
-        return self.labels_
-
-    @property
-    def inv(self) -> "Functional":
-        return Identity()
-
 
 @dtc.dataclass
-class ArgMax(Functional):
+class ArgMax(_LabelingMixin, Functional):
     def __post_init__(self):
         self.labels_ = None
         self.K_ = None
 
     def fit(self, X):
-        maxes = np.argmax(X, axis=1)
-        uniques, self.labels_ = np.unique(maxes, return_inverse=True)
+        uniques, self.labels_ = np.unique(
+            np.argmax(X, axis=1), return_inverse=True
+        )
         self.K_ = len(uniques)
         return self
 
-    def np_func(self, inputs):
-        self.fit(np.asarray(inputs))
-        return self.labels_
-
-    @property
-    def inv(self) -> "Functional":
-        return Identity()
-
 
 @dtc.dataclass
-class KMeans(Functional):
+class KMeans(_LabelingMixin, Functional):
     n_clusters: int = 16
     n_init: int = 2
     max_iter: int = 100
@@ -259,26 +241,20 @@ class KMeans(Functional):
     def fit(self, X):
         import sklearn.cluster as C
 
-        self._est = C.KMeans(
+        est = C.KMeans(
             n_clusters=self.n_clusters,
             n_init=self.n_init,
             max_iter=self.max_iter,
             random_state=self.random_seed,
-        )
-        self._est.fit(np.ascontiguousarray(X))
+        ).fit(np.ascontiguousarray(X))
+        self._est = est
+        self.labels_ = est.labels_
+        self.K_ = self.n_clusters
         return self
-
-    def np_func(self, inputs):
-        self.fit(np.asarray(inputs))
-        return self._est.labels_
-
-    @property
-    def inv(self) -> "Functional":
-        return Identity()
 
 
 @dtc.dataclass
-class SpectralClustering(Functional):
+class SpectralClustering(_LabelingMixin, Functional):
     n_clusters: int = 8
     n_init: int = 10
     n_neighbors: int = 10
@@ -287,24 +263,18 @@ class SpectralClustering(Functional):
     def fit(self, X):
         import sklearn.cluster as C
 
-        self._est = C.SpectralClustering(
+        est = C.SpectralClustering(
             n_clusters=self.n_clusters,
             n_init=self.n_init,
             n_neighbors=self.n_neighbors,
             random_state=self.random_seed,
             affinity="nearest_neighbors",
             assign_labels="discretize",
-        )
-        self._est.fit(X)
+        ).fit(X)
+        self._est = est
+        self.labels_ = est.labels_
+        self.K_ = self.n_clusters
         return self
-
-    def np_func(self, inputs):
-        self.fit(np.asarray(inputs))
-        return self._est.labels_
-
-    @property
-    def inv(self) -> "Functional":
-        return Identity()
 
 
 def distance_matrices(X, metric="euclidean", n_neighbors=1, radius=1e-3):
