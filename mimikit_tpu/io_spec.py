@@ -216,44 +216,41 @@ class IOSpec(Config, type_field=False):
             f.bind_to(schema[f.extractor_name])
         return self
 
+    def _all_specs(self):
+        return [*self.inputs, *self.targets]
+
+    def _unanimous(self, attr: str, label: str):
+        values = {getattr(s, attr) for s in self._all_specs()}
+        if len(values) > 1:
+            raise RuntimeError(
+                f"Expected to find a single {label} but found several:"
+                f" '{values}'"
+            )
+        return values.pop()
+
     @property
     def sr(self):
-        srs = {i.sr for i in [*self.inputs, *self.targets]}
-        if len(srs) > 1:
-            raise RuntimeError(
-                f"Expected to find a single sample_rate but found several: '{srs}'"
-            )
-        return srs.pop()
+        return self._unanimous("sr", "sample_rate")
 
     @property
     def hop_length(self):
-        hops = {i.hop_length for i in [*self.inputs, *self.targets]}
-        if len(hops) > 1:
-            raise RuntimeError(
-                f"Expected to find a single hop_length but found several: '{hops}'"
-            )
-        return hops.pop()
+        return self._unanimous("hop_length", "hop_length")
 
     @property
     def unit(self) -> Unit:
-        units = {i.unit for i in [*self.inputs, *self.targets]}
-        if len(units) > 1:
-            raise RuntimeError(
-                f"Expected to find a single time unit but found several: '{units}'"
-            )
-        return units.pop()
+        return self._unanimous("unit", "time unit")
 
     @property
     def loss_fn(self):
         def func(output, target):
-            out = {}
-            L = 0.0
-            for spec, o, t in zip(self.targets, output, target):
-                d = spec.loss_fn(o, t)
-                L += d.pop("loss")
-                out.update(d)
-            out["loss"] = L
-            return out
+            per_target = [
+                spec.loss_fn(o, t)
+                for spec, o, t in zip(self.targets, output, target)
+            ]
+            total = sum(d.pop("loss") for d in per_target)
+            merged = {k: v for d in per_target for k, v in d.items()}
+            merged["loss"] = total
+            return merged
 
         return func
 

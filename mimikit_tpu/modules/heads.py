@@ -25,6 +25,7 @@ class MLP(nn.Module):
     dropout: float = 0.0
     dropout1d: float = 0.0
     min_temperature: Optional[float] = 1e-4
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -36,16 +37,20 @@ class MLP(nn.Module):
         learn_temperature = self.min_temperature is not None
         out_dim = self.out_dim + int(learn_temperature)
 
-        h = nn.Dense(self.hidden_dim, use_bias=self.use_bias)(x)
+        def dense(features):
+            layer = nn.Dense(features, use_bias=self.use_bias)
+            return nn.WeightNorm(layer) if self.weight_norm else layer
+
+        h = dense(self.hidden_dim)(x)
         h = act(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         for _ in range(self.n_hidden_layers):
-            h = nn.Dense(self.hidden_dim, use_bias=self.use_bias)(h)
+            h = dense(self.hidden_dim)(h)
             h = act(h)
             if self.dropout > 0:
                 h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        logits = nn.Dense(out_dim, use_bias=self.use_bias)(h)
+        logits = dense(out_dim)(h)
         if learn_temperature:
             temp = nn.sigmoid(logits[..., -1:])
             logits = logits[..., :-1] / jnp.maximum(temp, self.min_temperature)

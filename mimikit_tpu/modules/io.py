@@ -282,13 +282,15 @@ class _EmbedConv(nn.Module):
     num: int
     dim: int
     frame_size: int
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
         # x: (B, n_frames, frame_size) ints
         h = nn.Embed(self.num, self.dim)(x)  # (B, nf, fs, dim)
         return Conv1dResampler(
-            in_dim=self.dim, t_factor=1 / self.frame_size, d_factor=1
+            in_dim=self.dim, t_factor=1 / self.frame_size, d_factor=1,
+            weight_norm=self.weight_norm,
         )(h)
 
 
@@ -299,12 +301,17 @@ class EmbeddingConv1d(IOModule):
     def module(self) -> nn.Module:
         self.not_none("class_size", "frame_size", "hop_length", "out_dim")
         self.with_unfold = True
-        return self.wrap(_EmbedConv(self.class_size, self.out_dim, self.frame_size))
+        return self.wrap(
+            _EmbedConv(
+                self.class_size, self.out_dim, self.frame_size, self.weight_norm
+            )
+        )
 
 
 class _FramedConv(nn.Module):
     frame_size: int
     out_dim: int
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -312,7 +319,8 @@ class _FramedConv(nn.Module):
         B, nf, fs = x.shape
         h = x.reshape(B, nf * fs, 1)
         return Conv1dResampler(
-            in_dim=1, t_factor=1 / self.frame_size, d_factor=self.out_dim
+            in_dim=1, t_factor=1 / self.frame_size, d_factor=self.out_dim,
+            weight_norm=self.weight_norm,
         )(h)
 
 
@@ -324,7 +332,9 @@ class FramedConv1dIO(IOModule):
         self.with_unfold = True
         if self.hop_length is None:
             self.hop_length = 1
-        return self.wrap(_FramedConv(self.frame_size, self.out_dim))
+        return self.wrap(
+            _FramedConv(self.frame_size, self.out_dim, self.weight_norm)
+        )
 
 
 @dtc.dataclass
@@ -352,6 +362,7 @@ class MLPIO(IOModule):
             dropout=self.dropout,
             dropout1d=self.dropout1d,
             min_temperature=self.min_temperature,
+            weight_norm=self.weight_norm,
         )
         self.activation = None
         return self.wrap(mod, core_takes_train=True)

@@ -37,23 +37,27 @@ class Conv1dResampler(nn.Module):
     t_factor: float
     d_factor: float
     use_bias: bool = True
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
         if x.ndim > 3:
             x = x.reshape(x.shape[0], int(np.prod(x.shape[1:-1])), x.shape[-1])
         out_dim = int(self.in_dim * self.d_factor)
+        wn = nn.WeightNorm if self.weight_norm else (lambda m: m)
         if self.t_factor <= 1:
             k = int(1 / self.t_factor)
             B, T, D = x.shape
             # (B, T/k, k, D) -> valid conv over the k window == dense on k*D
             y = x.reshape(B, T // k, k * D)
-            y = nn.Dense(out_dim, use_bias=self.use_bias)(y)
+            y = wn(nn.Dense(out_dim, use_bias=self.use_bias))(y)
             return y
         k = int(self.t_factor)
         # transposed conv: each step expands to k steps
-        y = nn.ConvTranspose(
-            out_dim, kernel_size=(k,), strides=(k,), use_bias=self.use_bias
+        y = wn(
+            nn.ConvTranspose(
+                out_dim, kernel_size=(k,), strides=(k,), use_bias=self.use_bias
+            )
         )(x)
         return y
 

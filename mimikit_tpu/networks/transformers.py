@@ -220,7 +220,7 @@ class _StatefulTransformerARM(ARM):
     def init_params(self, batch_size: int = 1, batch_length: Optional[int] = None, rng=None):
         if rng is None:
             rng = self.next_rng()
-        T = batch_length if batch_length is not None else self.rf + self._init_extra()
+        T = batch_length if batch_length is not None else self._default_init_len()
         dummy = self._dummy_inputs(batch_size, T)
         variables = self.module.init(
             {"params": rng, "dropout": rng, "sample": rng}, dummy, None, True
@@ -228,8 +228,8 @@ class _StatefulTransformerARM(ARM):
         self.params = variables["params"]
         return self.params
 
-    def _init_extra(self) -> int:
-        return 0
+    def _default_init_len(self) -> int:
+        return self.rf
 
     def _ensure_params(self, inputs):
         if self.params is None:
@@ -470,7 +470,13 @@ class JukeBox(_StatefulTransformerARM):
                 module_type = FramedConv1dIO
             mods.append(
                 module_type()
-                .set(**params, frame_size=fs_list[-1], hop_length=1, out_dim=h_dim)
+                .set(
+                    **params,
+                    frame_size=fs_list[-1],
+                    hop_length=1,
+                    out_dim=h_dim,
+                    **wn,
+                )
                 .module()
             )
         tiers.append(
@@ -481,7 +487,7 @@ class JukeBox(_StatefulTransformerARM):
             )
         )
         output_modules = tuple(
-            t_spec.module.copy().set(in_dim=h_dim).module()
+            t_spec.module.copy().set(in_dim=h_dim, **wn).module()
             for t_spec in config.io_spec.targets
         )
         core = JukeBoxCore(
@@ -493,8 +499,11 @@ class JukeBox(_StatefulTransformerARM):
     def rf(self):
         return self._config.rf
 
-    def _init_extra(self) -> int:
-        return 1
+    def _default_init_len(self) -> int:
+        # the tier pyramid needs a length that frames evenly at every
+        # level: a multiple of frame_sizes[0], at least two top frames
+        fs0 = self._config.frame_sizes[0]
+        return max(2 * fs0, -(-self.rf // fs0) * fs0)
 
     def train_batch(self, item_spec: ItemSpec):
         return tuple(

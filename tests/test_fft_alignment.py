@@ -161,7 +161,12 @@ def test_mulaw_roundtrip():
 
     import jax.numpy as jnp
 
+    # np (libm) and jnp (XLA) agree everywhere except samples that land
+    # exactly on a quantization-bin edge, where 1-ulp log1p differences can
+    # round to the adjacent bin
     qj = np.asarray(comp(jnp.asarray(x)))
-    assert np.array_equal(qj, q)
+    diff = np.abs(qj.astype(np.int64) - q.astype(np.int64))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-3
     yj = np.asarray(exp(jnp.asarray(q.astype(np.int32))))
     assert np.allclose(yj, y, atol=1e-5)

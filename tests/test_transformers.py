@@ -84,3 +84,60 @@ def test_transformer_generate_loop(tmp_path):
         ran = True
         assert outputs[0].shape[1] == 48
     assert ran
+
+
+def jb_io():
+    # JukeBox frames its inputs per tier: needs a framed input module,
+    # not the plain per-sample embedding
+    return mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+
+
+def test_jukebox_weight_norm_reaches_every_site():
+    """weight_norm must wrap tier inputs, up-samplers and output heads
+    (reference transformers.py:222-231,349-354) — and init_params' default
+    length must frame evenly at every tier."""
+    import jax.tree_util as jtu
+
+    jb = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=jb_io(), frame_sizes=(8, 4, 2), model_dim=16,
+            n_heads=2, feedforward_dim=32, num_layers=1, weight_norm=True,
+            rf=16,
+        )
+    )
+    params = jb.init_params(batch_size=1)
+    paths = [
+        "/".join(str(k.key) for k in kp)
+        for kp, _ in jtu.tree_flatten_with_path(params)[0]
+    ]
+    scales = [p for p in paths if p.endswith("kernel/scale")]
+    for site in ("tiers_0", "tiers_2", "up_sampler", "output_modules"):
+        assert any(site in p for p in scales), f"no weight norm under {site}"
+
+    # flag off -> no scale params anywhere
+    jb2 = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=jb_io(), frame_sizes=(8, 4, 2), model_dim=16,
+            n_heads=2, feedforward_dim=32, num_layers=1, weight_norm=False,
+            rf=16,
+        )
+    )
+    p2 = jb2.init_params(batch_size=1)
+    paths2 = [
+        "/".join(str(k.key) for k in kp)
+        for kp, _ in jtu.tree_flatten_with_path(p2)[0]
+    ]
+    assert not [p for p in paths2 if p.endswith("kernel/scale")]
+
+
+def test_jukebox_default_init_len_snaps_to_pyramid():
+    # rf=17 is not a valid tier length; the default must round up to a
+    # multiple of frame_sizes[0]
+    jb = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=jb_io(), frame_sizes=(8, 4, 2), model_dim=16,
+            n_heads=2, feedforward_dim=32, num_layers=1, rf=17,
+        )
+    )
+    assert jb._default_init_len() == 24
+    jb.init_params()  # must not raise
