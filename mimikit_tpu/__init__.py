@@ -26,6 +26,7 @@ from .extract import *
 from .models import *
 from . import parallel
 from . import ui
+from .ui import *
 from .views import *
 from . import demos
 
