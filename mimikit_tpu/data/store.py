@@ -13,7 +13,6 @@ entirely via the on-device batch gather in ``mimikit_tpu.loops.device_loader``.
 """
 from __future__ import annotations
 
-import os
 from typing import Dict, Iterable, Optional, Sequence, Tuple
 
 import h5py

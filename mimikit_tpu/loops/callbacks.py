@@ -7,7 +7,7 @@ directly.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional
+from typing import Iterable
 
 from ..checkpoint import Checkpoint
 

@@ -12,7 +12,7 @@ host loader remains the fallback for host-only transforms.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

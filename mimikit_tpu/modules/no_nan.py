@@ -47,7 +47,6 @@ def assert_all_finite(tree, name: str = "tree"):
     """Host-side finite check over a pytree (params / grads)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         if not bool(jnp.all(jnp.isfinite(leaf))):

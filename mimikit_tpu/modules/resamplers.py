@@ -7,7 +7,6 @@ per tier, exactly how TPU likes it.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["LinearResampler", "Conv1dResampler", "LSTMResampler"]

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import abc
 import dataclasses as dtc
-from typing import Dict, Optional, Set, Tuple
+from typing import Optional, Set, Tuple
 
 import jax
 import numpy as np

@@ -25,7 +25,7 @@ if TYPE_CHECKING:
 from ..utils import AutoStrEnum
 from ..features.item_spec import ItemSpec
 from ..features.functionals import Continuous
-from ..modules.io import Pipeline, ZipReduceVariables
+from ..modules.io import ZipReduceVariables
 from ..modules.misc import unfold
 from ..modules.resamplers import LinearResampler
 from ..modules.rnn import RNNStack

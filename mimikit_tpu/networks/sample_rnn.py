@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import dataclasses as dtc
 from enum import auto
-from functools import partial
 from typing import List, Optional, Tuple
 
 import flax.linen as nn

@@ -9,7 +9,7 @@ sequence + FFN — batch-first throughout (no permutes; XLA prefers it).
 from __future__ import annotations
 
 import dataclasses as dtc
-from typing import Iterable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses as dtc
 from itertools import accumulate, chain
 import operator as opr
-from typing import Iterable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -27,7 +27,6 @@ if TYPE_CHECKING:
     from ..io_spec import IOSpec
 
 from ..features.item_spec import ItemSpec, Step
-from ..modules.activations import ActivationConfig
 from ..modules.misc import causal_pad
 from .arm import ARM, NetworkConfig
 

@@ -10,7 +10,7 @@ Reference behavior: the centered mu-law of ``functionals.py:313-373``.
 """
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 
