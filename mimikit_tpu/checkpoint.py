@@ -186,7 +186,10 @@ class Checkpoint:
         cfg.io_spec.bind_to(self.dataset_config)
         cls = cfg.owner_class
         net = cls.from_config(cfg)
-        net.init_params()
+        if getattr(net, "params", None) is None:
+            # shape the param tree so from_state_dict can restore into it;
+            # custom ARMs may build params in from_config instead
+            net.init_params()
         net.params = ser.from_state_dict(net.params, self.state_dict)
         net.params = __import__("jax").tree_util.tree_map(jnp.asarray, net.params)
         return net
