@@ -296,12 +296,24 @@ class TrainARMLoop:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from ..parallel.mesh import param_shardings
+
             repl = NamedSharding(self.mesh, P())
             data = NamedSharding(self.mesh, P("data"))
+            kw = self.train_cfg.trainer_kwargs
+            if int(kw.get("n_model", 1)) > 1 or kw.get("fsdp"):
+                p_sh = param_shardings(
+                    self.mesh,
+                    self.net.params,
+                    min_size=int(kw.get("min_size", 4096)),
+                    fsdp=bool(kw.get("fsdp")),
+                )
+            else:
+                p_sh = repl
             self._step_fn = jax.jit(
                 step,
-                in_shardings=(repl, repl, repl, data, data, repl),
-                out_shardings=(repl, repl, repl, repl),
+                in_shardings=(p_sh, repl, repl, data, data, repl),
+                out_shardings=(p_sh, repl, repl, repl),
             )
         else:
             self._step_fn = jax.jit(step, donate_argnums=(0, 1))

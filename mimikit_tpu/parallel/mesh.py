@@ -61,20 +61,37 @@ def _leaf_spec(path: str, leaf, min_size: int, model_axis_size: int):
     return P()
 
 
-def param_shardings(mesh: Mesh, params, min_size: int = 4096):
+def _fsdp_axis(spec: P, leaf, data_axis_size: int):
+    """Add a 'data' split on the largest still-unsharded dim (ZeRO-3 style:
+    params live sharded over the data axis; XLA all-gathers them at use and
+    reduce-scatters the gradients)."""
+    dims = list(spec) + [None] * (leaf.ndim - len(spec))
+    order = sorted(
+        range(leaf.ndim), key=lambda d: leaf.shape[d], reverse=True
+    )
+    for d in order:
+        if dims[d] is None and leaf.shape[d] % data_axis_size == 0:
+            dims[d] = "data"
+            return P(*dims)
+    return spec
+
+
+def param_shardings(mesh: Mesh, params, min_size: int = 4096, fsdp: bool = False):
     """PartitionSpec tree: tensor-parallel column split for big kernels,
-    replication for everything else."""
+    replication for everything else.  With ``fsdp=True``, big leaves are
+    additionally sharded over 'data' (fully-sharded data parallel)."""
     model_n = mesh.shape["model"]
+    data_n = mesh.shape["data"]
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
     specs = []
     for path, leaf in flat:
         pstr = jax.tree_util.keystr(path)
-        if model_n > 1:
-            specs.append(NamedSharding(mesh, _leaf_spec(pstr, leaf, min_size, model_n)))
-        else:
-            specs.append(NamedSharding(mesh, P()))
+        spec = _leaf_spec(pstr, leaf, min_size, model_n) if model_n > 1 else P()
+        if fsdp and data_n > 1 and leaf.size >= min_size and leaf.ndim >= 1:
+            spec = _fsdp_axis(spec, leaf, data_n)
+        specs.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
