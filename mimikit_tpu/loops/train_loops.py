@@ -126,7 +126,9 @@ class TrainARMLoop:
             if cfg.limit_train_batches is not None
             else len(dl)
         )
-        total_steps = max(2, steps_per_epoch * cfg.max_epochs)
+        accumulate = int(cfg.trainer_kwargs.get("accumulate_grad_batches", 1))
+        # the schedule ticks once per optimizer update, not per micro-batch
+        total_steps = max(2, steps_per_epoch * cfg.max_epochs // accumulate)
         # a zero-length warmup phase divides by zero inside optax's schedule
         # (the reference's torch OneCycleLR tolerates pct_start=0) — floor the
         # warmup at one step
@@ -139,6 +141,10 @@ class TrainARMLoop:
             final_div_factor=cfg.final_div_factor,
         )
         tx = optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1])
+        if accumulate > 1:
+            # lightning-style micro-batching: grads average over N steps,
+            # params update every Nth (stays inside the single jitted step)
+            tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
         return tx
 
     @classmethod

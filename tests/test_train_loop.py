@@ -108,3 +108,34 @@ def test_should_resume_from_checkpoint(tmp_path, save_optimizer):
         must_contain += ["epoch=2.opt"]
     for expected in must_contain:
         assert expected in content
+
+
+def test_accumulate_grad_batches(tmp_path):
+    """lightning-style micro-batching: grads average across k batches
+    inside the single jitted step (optax.MultiSteps)."""
+    ds_cfg = make_db_config(tmp_path, filename="acc.h5")
+    db = ds_cfg.create(mode="w")
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16),
+        extractor=ds_cfg.extractors[0],
+    )
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(4, 2, 2), hidden_dim=16, io_spec=io)
+    )
+    cfg = mmk.TrainARMConfig(
+        root_dir=str(tmp_path),
+        batch_size=4,
+        batch_length=16,
+        limit_train_batches=4,
+        max_epochs=1,
+        every_n_epochs=1,
+        CHECKPOINT_TRAINING=True,
+        MONITOR_TRAINING=False,
+        OUTPUT_TRAINING="",
+        trainer_kwargs={"accumulate_grad_batches": 2},
+    )
+    loop = mmk.TrainARMLoop.from_config(cfg, dataset=db, network=net)
+    loop.run()
+    import os
+
+    assert "epoch=1.ckpt" in os.listdir(os.path.join(str(tmp_path), loop.hash_))
