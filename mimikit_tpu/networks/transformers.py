@@ -63,7 +63,12 @@ class PositionalEncoding(nn.Module):
 
 class DecoderBlock(nn.Module):
     """torch TransformerDecoderLayer equivalent: self-attn, cross-attn
-    (memory == the same sequence here), FFN; post- or pre-norm."""
+    (memory == the same sequence here), FFN; post- or pre-norm.
+
+    With ``decode=True`` both attentions run incrementally against their
+    flax KV caches (queries are single steps; since memory is the same
+    sequence, cross-attention caches behave exactly like self-attention's).
+    """
 
     model_dim: int
     n_heads: int
@@ -71,6 +76,7 @@ class DecoderBlock(nn.Module):
     dropout: float = 0.0
     activation: str = "ReLU"
     norm_first: bool = False
+    decode: bool = False
 
     @nn.compact
     def __call__(self, x, memory, mask, train: bool = False):
@@ -82,6 +88,7 @@ class DecoderBlock(nn.Module):
                 qkv_features=self.model_dim,
                 dropout_rate=self.dropout,
                 deterministic=not train,
+                decode=self.decode,
                 name=name,
             )(q, kv, mask=mask)
 
@@ -118,11 +125,16 @@ class DecoderStack(nn.Module):
     activation: str = "ReLU"
     norm_first: bool = False
     with_layer_norm: bool = False
+    decode: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        T = x.shape[1]
-        mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+        if self.decode:
+            # incremental: x is one step, causality comes from the KV cache
+            mask = None
+        else:
+            T = x.shape[1]
+            mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
         memory = x
         for i in range(self.num_layers):
             x = DecoderBlock(
@@ -132,6 +144,7 @@ class DecoderStack(nn.Module):
                 self.dropout,
                 self.activation,
                 self.norm_first,
+                decode=self.decode,
                 name=f"block{i}",
             )(x, memory, mask, train=train)
         if self.with_layer_norm:
@@ -143,6 +156,7 @@ class SimpleTransformerCore(nn.Module):
     cfg: dict
     input_heads: Tuple[nn.Module, ...]
     output_modules: Tuple[nn.Module, ...]
+    decode: bool = False
 
     def setup(self):
         c = self.cfg
@@ -156,12 +170,32 @@ class SimpleTransformerCore(nn.Module):
             dropout=c["dropout"],
             activation="ReLU",
             with_layer_norm=c["with_layer_norm"],
+            decode=self.decode,
         )
         self.input_dropout = c["input_dropout"]
 
     def __call__(self, inputs: Tuple, hidden=None, train: bool = False,
                  temperature=None):
         src = self.input_module(inputs, train=train)
+        if self.decode:
+            # incremental: inputs are one step; ``hidden`` is the absolute
+            # position for the positional encoding (the attention caches
+            # track their own write index)
+            t = jnp.asarray(0 if hidden is None else hidden, jnp.int32)
+            table = jnp.asarray(
+                sinusoidal_pe(self.pe.max_len, self.cfg["model_dim"])
+            )
+            src = src + jax.lax.dynamic_slice_in_dim(
+                table, t, 1, axis=0
+            )[None]
+            out = self.model(src, train=False)
+            return (
+                tuple(
+                    mod(out, train=False, temperature=temperature)
+                    for mod in self.output_modules
+                ),
+                t + 1,
+            )
         if train and self.input_dropout > 0:
             keep = jax.random.bernoulli(
                 self.make_rng("dropout"),
@@ -191,6 +225,7 @@ class _StatefulTransformerARM(ARM):
         self.module = core
         self.params = None
         self.training = True
+        self._decoders = {}
 
     @property
     def config(self):
@@ -322,6 +357,84 @@ class SimpleTransformer(_StatefulTransformerARM):
 
     def test_batch(self, item_spec: ItemSpec):
         return self.train_batch(item_spec)
+
+    def _make_decoder(self, B: int, Tp: int, n_steps: int, dtype, argmax: bool):
+        """Jitted KV-cached decode fn (cached per shape): (params, x, rng,
+        temperature) -> (max_len-1, B) predictions."""
+        import jax
+
+        key = (B, Tp, n_steps, str(dtype), argmax)
+        if key in self._decoders:
+            return self._decoders[key]
+
+        max_len = Tp + n_steps
+        dec_core = SimpleTransformerCore(
+            cfg=self.module.cfg,
+            input_heads=self.module.input_heads,
+            output_modules=self.module.output_modules,
+            decode=True,
+        )
+        # cache shapes derive from the init input length (flax decode
+        # convention).  eval_shape only — a real init would dispatch every
+        # op of the un-jitted trace to the device one by one
+        k0 = jax.random.PRNGKey(0)
+        cache_shapes = jax.eval_shape(
+            lambda: dec_core.init(
+                {"params": k0, "sample": k0},
+                (jnp.zeros((B, max_len), dtype),),
+                None,
+                False,
+            )
+        )["cache"]
+
+        @jax.jit
+        def run(params, x, sample_rng, temperature):
+            def step(carry, t):
+                cache, cur, sk_rng = carry
+                sk_rng, sk = jax.random.split(sk_rng)
+                tok = jnp.where(t < Tp, x[:, jnp.minimum(t, Tp - 1)], cur)
+                (outs, _), mut = dec_core.apply(
+                    {"params": params, "cache": cache},
+                    (tok[:, None],),
+                    t,
+                    False,
+                    None if argmax else temperature,
+                    rngs={"sample": sk},
+                    mutable=["cache"],
+                )
+                o = outs[0]
+                nxt = o[..., 0] if o.ndim > 1 else o
+                return (mut["cache"], nxt, sk_rng), nxt
+
+            cache = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes
+            )
+            (_, _, _), preds = jax.lax.scan(
+                step, (cache, x[:, 0], sample_rng), jnp.arange(max_len - 1)
+            )
+            return preds
+
+        self._decoders[key] = run
+        return run
+
+    def generate(self, prompts: Tuple, n_steps: int, temperature=None,
+                 rng=None):
+        """KV-cached autoregressive decode: one jitted ``lax.scan`` over
+        prompt + continuation, each step attending incrementally against
+        the flax attention caches (O(T) per step instead of refeeding the
+        whole window).  Attends over the FULL history, unlike the stepwise
+        fallback which slides an rf-sized window."""
+        self._ensure_params(prompts)
+        x = jnp.asarray(prompts[0])
+        B, Tp = x.shape
+        if rng is None:
+            rng = self.next_rng()
+        argmax = temperature is None
+        dec = self._make_decoder(B, Tp, n_steps, x.dtype, argmax)
+        temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        preds = dec(self.params, x, rng, temp)
+        cont = jnp.swapaxes(preds[Tp - 1 :], 0, 1)  # (B, n_steps)
+        return (jnp.concatenate([x, cont.astype(x.dtype)], axis=1),)
 
 
 class TransformerTier(nn.Module):

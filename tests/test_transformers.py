@@ -141,3 +141,28 @@ def test_jukebox_default_init_len_snaps_to_pyramid():
     )
     assert jb._default_init_len() == 24
     jb.init_params()  # must not raise
+
+
+def test_simple_transformer_cached_decode_matches_stepwise():
+    """The KV-cached scan decode must produce exactly the tokens the
+    stepwise full-context argmax path would (history kept under rf so the
+    stepwise window covers the same context)."""
+    tr = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=small_io(), model_dim=32, n_heads=4, feedforward_dim=64,
+            num_layers=2, rf=64,
+        )
+    )
+    tr.seed(0)
+    prompts = (np.random.randint(0, 32, (2, 16)).astype(np.int32),)
+    out = tr.generate(prompts, n_steps=10, temperature=None)
+    seq = np.asarray(out[0])
+    assert seq.shape == (2, 26)
+    assert np.array_equal(seq[:, :16], prompts[0])
+
+    tr.eval()
+    for t in range(16, 26):
+        o = np.asarray(tr.forward((seq[:, :t],), temperature=None))
+        step_tok = o[..., 0] if o.ndim > 2 else o[0]
+        step_tok = np.asarray(step_tok).reshape(2)
+        assert np.array_equal(step_tok.astype(seq.dtype), seq[:, t]), t
