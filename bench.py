@@ -20,7 +20,7 @@ BASELINE_SAMPLES_PER_SEC = 50_000.0
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     n_steps = int(os.environ.get("BENCH_STEPS", "16384"))
     hidden = int(os.environ.get("BENCH_HIDDEN", "256"))
 
@@ -41,11 +41,23 @@ def main():
     prior_t = 2 * rf
     prompts = (np.random.randint(0, 256, (batch, prior_t)).astype(np.int32),)
 
+    def fence(arrays):
+        # block_until_ready does NOT actually block through the remote-device
+        # tunnel this runs under — only a value read proves completion.  A
+        # single-element read transfers 4 bytes and costs one round-trip.
+        return float(jax.numpy.asarray(arrays[0])[0, -1])
+
     # compile + warm up (separate small run so the timed region is steady-state)
     t0 = time.time()
     out = net.generate(prompts, n_steps=n_steps, temperature=0.9)
-    jax.block_until_ready(out)
+    fence(out)
     compile_s = time.time() - t0
+
+    # measure the read fence itself so it can be subtracted
+    t0 = time.time()
+    for _ in range(4):
+        fence(out)
+    rtt = (time.time() - t0) / 4
 
     n_rep = 3
     t0 = time.time()
@@ -54,8 +66,8 @@ def main():
             prompts, n_steps=n_steps, temperature=0.9,
             rng=jax.random.PRNGKey(i),
         )
-        jax.block_until_ready(out)
-    elapsed = (time.time() - t0) / n_rep
+        fence(out)
+    elapsed = max((time.time() - t0) / n_rep - rtt, 1e-9)
 
     total_samples = batch * n_steps
     samples_per_sec = total_samples / elapsed

@@ -1,0 +1,43 @@
+"""Honest device timing under the remote-device tunnel.
+
+``jax.block_until_ready`` does not actually block when the device is
+reached through a tunnel (the proxy reports buffers ready on dispatch), so
+wall-clock timing around it measures dispatch latency, not compute.  The
+only reliable completion fence is a value read: a one-element read
+transfers 4 bytes and costs one tunnel round-trip (~35 ms), which these
+helpers measure and subtract.
+"""
+import time
+
+
+def fence(x) -> float:
+    """Force completion of ``x`` (array or nest of arrays) via a scalar read."""
+    import jax.numpy as jnp
+
+    while isinstance(x, (tuple, list)):
+        x = x[0]
+    v = jnp.ravel(x)[-1]
+    if jnp.iscomplexobj(v):
+        v = jnp.abs(v)
+    return float(v)
+
+
+def read_rtt(x, n: int = 4) -> float:
+    """Round-trip cost of the fence itself on an already-computed value."""
+    fence(x)
+    t0 = time.time()
+    for _ in range(n):
+        fence(x)
+    return (time.time() - t0) / n
+
+
+def timeit(fn, *args, n: int = 5) -> float:
+    """Steady-state seconds per call: queue n async calls, fence once,
+    subtract the fence's own round-trip."""
+    out = fn(*args)  # compile + warm
+    rtt = read_rtt(out)
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    fence(out)
+    return max((time.time() - t0 - rtt) / n, 1e-9)

@@ -9,21 +9,16 @@ import numpy as np
 
 
 def timeit(fn, *args, n=5):
-    import jax
+    from _timing import timeit as _t
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    return (time.time() - t0) / n
+    return _t(fn, *args, n=n)
 
 
 def main():
     import os
     import sys
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp

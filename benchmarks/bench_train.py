@@ -50,16 +50,18 @@ def bench_net(name, net, io, batch_size, batch_length, n_steps=20):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    from _timing import fence, read_rtt
+
     step = jax.jit(step, donate_argnums=(0, 1))
     params = net.params
     rng = jax.random.PRNGKey(0)
     params, opt_state, loss = step(params, opt_state, (x,), (y,), rng)
-    jax.block_until_ready(loss)
+    rtt = read_rtt(loss)
     t0 = time.time()
     for _ in range(n_steps):
         params, opt_state, loss = step(params, opt_state, (x,), (y,), rng)
-    jax.block_until_ready(loss)
-    dt = (time.time() - t0) / n_steps
+    fence(loss)
+    dt = max((time.time() - t0 - rtt) / n_steps, 1e-9)
     samples_per_sec = batch_size * batch_length / dt
     print(
         json.dumps(
@@ -78,6 +80,7 @@ def main():
     import os
     import sys
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
 
