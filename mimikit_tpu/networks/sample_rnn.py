@@ -12,6 +12,7 @@ sample.
 from __future__ import annotations
 
 import dataclasses as dtc
+import os
 from enum import auto
 from typing import List, Optional, Tuple
 
@@ -457,7 +458,12 @@ class SampleRNN(ARMWithHidden):
                 return (tuple(new_bufs), hidden, tier_out, key), None
 
             ts = jnp.arange(rf, prior_t + n_steps)
-            (bufs, *_), _ = jax.lax.scan(body, (bufs, hidden, tier_out, key), ts)
+            # unrolling amortizes per-iteration scan overhead across the
+            # many small per-step ops (~13% decode throughput on v5e)
+            unroll = int(os.environ.get("MMK_DECODE_UNROLL", "8"))
+            (bufs, *_), _ = jax.lax.scan(
+                body, (bufs, hidden, tier_out, key), ts, unroll=unroll
+            )
             return bufs
 
         if mesh is not None:
