@@ -166,3 +166,26 @@ def test_simple_transformer_cached_decode_matches_stepwise():
         step_tok = o[..., 0] if o.ndim > 2 else o[0]
         step_tok = np.asarray(step_tok).reshape(2)
         assert np.array_equal(step_tok.astype(seq.dtype), seq[:, t]), t
+
+
+def test_simple_transformer_window_decode_matches_stepwise():
+    """Prompts >= rf take the sliding-window scan decoder; its tokens must
+    equal the stepwise rf-window argmax path position by position."""
+    tr = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=small_io(), model_dim=32, n_heads=4, feedforward_dim=64,
+            num_layers=2, rf=16,
+        )
+    )
+    tr.seed(0)
+    prompts = (np.random.randint(0, 32, (2, 24)).astype(np.int32),)
+    out = tr.generate(prompts, n_steps=10, temperature=None)
+    seq = np.asarray(out[0])
+    assert seq.shape == (2, 34)
+    assert np.array_equal(seq[:, :24], prompts[0])
+
+    tr.eval()
+    for t in range(24, 34):
+        o = np.asarray(tr.forward((seq[:, t - 16 : t],), temperature=None))
+        tok = (o[..., 0] if o.ndim > 2 else o[0]).reshape(2)
+        assert np.array_equal(tok.astype(seq.dtype), seq[:, t]), t
