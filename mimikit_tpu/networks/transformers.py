@@ -304,6 +304,59 @@ class _StatefulTransformerARM(ARM):
     def generate_params(self):
         return {"temperature"}
 
+    def _window_len(self) -> int:
+        return self.rf
+
+    def _make_window_decoder(self, B: int, Tp: int, n_steps: int, dtype,
+                             argmax: bool):
+        """Jitted sliding-window decode: each scan step refeeds the last rf
+        tokens through the normal core and appends the sampled token.  On
+        TPU this beats incremental KV caches ~5x per step — one big fused
+        window matmul over the MXU instead of many tiny cache
+        reads/updates — and reproduces the stepwise loop's rf-window
+        semantics (incl. window-relative positional encoding) exactly."""
+        import jax
+
+        key = ("win", B, Tp, n_steps, str(dtype), argmax)
+        if key in self._decoders:
+            return self._decoders[key]
+        rf = self._window_len()
+        module = self.module
+
+        @jax.jit
+        def run(params, x, sample_rng, temperature):
+            buf = jnp.concatenate(
+                [x, jnp.zeros((B, n_steps), x.dtype)], axis=1
+            )
+
+            def step(carry, t):
+                b, sk_rng = carry
+                sk_rng, sk = jax.random.split(sk_rng)
+                win = jax.lax.dynamic_slice_in_dim(b, t - rf, rf, axis=1)
+                outs, _ = module.apply(
+                    {"params": params},
+                    (win,),
+                    None,
+                    False,
+                    None if argmax else temperature,
+                    rngs={"sample": sk},
+                )
+                o = outs[0]
+                tok = (o[..., 0] if o.ndim > 1 else o).astype(b.dtype)
+                tok = tok.reshape(b.shape[0])
+                b = jax.lax.dynamic_update_slice_in_dim(
+                    b, tok[:, None], t, axis=1
+                )
+                return (b, sk_rng), None
+
+            (buf, _), _ = jax.lax.scan(
+                step, (buf, sample_rng), jnp.arange(Tp, Tp + n_steps)
+            )
+            return buf
+
+        self._decoders[key] = run
+        return run
+
 
 class SimpleTransformer(_StatefulTransformerARM):
     @dtc.dataclass
@@ -413,55 +466,6 @@ class SimpleTransformer(_StatefulTransformerARM):
                 step, (cache, x[:, 0], sample_rng), jnp.arange(max_len - 1)
             )
             return preds
-
-        self._decoders[key] = run
-        return run
-
-    def _make_window_decoder(self, B: int, Tp: int, n_steps: int, dtype,
-                             argmax: bool):
-        """Jitted sliding-window decode: each scan step refeeds the last rf
-        tokens through the normal (non-decode) core and appends the sampled
-        token.  On TPU this beats incremental KV caches ~5x per step — one
-        big fused window matmul over the MXU instead of many tiny cache
-        reads/updates — and reproduces the stepwise loop's rf-window
-        semantics (incl. window-relative positional encoding) exactly."""
-        import jax
-
-        key = ("win", B, Tp, n_steps, str(dtype), argmax)
-        if key in self._decoders:
-            return self._decoders[key]
-        rf = self.rf
-        module = self.module
-
-        @jax.jit
-        def run(params, x, sample_rng, temperature):
-            buf = jnp.concatenate(
-                [x, jnp.zeros((B, n_steps), x.dtype)], axis=1
-            )
-
-            def step(carry, t):
-                b, sk_rng = carry
-                sk_rng, sk = jax.random.split(sk_rng)
-                win = jax.lax.dynamic_slice_in_dim(b, t - rf, rf, axis=1)
-                outs, _ = module.apply(
-                    {"params": params},
-                    (win,),
-                    None,
-                    False,
-                    None if argmax else temperature,
-                    rngs={"sample": sk},
-                )
-                o = outs[0]
-                tok = (o[..., 0] if o.ndim > 1 else o).astype(b.dtype)
-                b = jax.lax.dynamic_update_slice_in_dim(
-                    b, tok[:, None], t, axis=1
-                )
-                return (b, sk_rng), None
-
-            (buf, _), _ = jax.lax.scan(
-                step, (buf, sample_rng), jnp.arange(Tp, Tp + n_steps)
-            )
-            return buf
 
         self._decoders[key] = run
         return run
@@ -671,6 +675,31 @@ class JukeBox(_StatefulTransformerARM):
         # level: a multiple of frame_sizes[0], at least two top frames
         fs0 = self._config.frame_sizes[0]
         return max(2 * fs0, -(-self.rf // fs0) * fs0)
+
+    def _window_len(self) -> int:
+        return self._default_init_len()
+
+    def generate(self, prompts: Tuple, n_steps: int, temperature=None,
+                 rng=None):
+        """Sliding-window scan decode (see ``_make_window_decoder``).
+        Prompts shorter than the window are left-padded with zeros (the
+        same convention WaveNet's fast decode uses for short prompts)."""
+        self._ensure_params(prompts)
+        x = jnp.asarray(prompts[0])
+        B, Tp = x.shape
+        if rng is None:
+            rng = self.next_rng()
+        win = self._window_len()
+        pad = max(win - Tp, 0)
+        if pad:
+            x = jnp.concatenate(
+                [jnp.zeros((B, pad), x.dtype), x], axis=1
+            )
+        argmax = temperature is None
+        temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        dec = self._make_window_decoder(B, Tp + pad, n_steps, x.dtype, argmax)
+        out = dec(self.params, x, rng, temp)
+        return (out[:, pad:],)
 
     def train_batch(self, item_spec: ItemSpec):
         return tuple(

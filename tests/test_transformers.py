@@ -189,3 +189,29 @@ def test_simple_transformer_window_decode_matches_stepwise():
         o = np.asarray(tr.forward((seq[:, t - 16 : t],), temperature=None))
         tok = (o[..., 0] if o.ndim > 2 else o[0]).reshape(2)
         assert np.array_equal(tok.astype(seq.dtype), seq[:, t]), t
+
+
+def test_jukebox_window_decode_matches_stepwise():
+    jb = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=jb_io(), frame_sizes=(8, 4, 2), model_dim=16, n_heads=2,
+            feedforward_dim=32, num_layers=1, rf=16,
+        )
+    )
+    jb.seed(0)
+    prompts = (np.random.randint(0, 32, (2, 24)).astype(np.int32),)
+    out = jb.generate(prompts, n_steps=8, temperature=None)
+    seq = np.asarray(out[0])
+    assert seq.shape == (2, 32)
+    assert np.array_equal(seq[:, :24], prompts[0])
+
+    jb.eval()
+    for t in range(24, 32):
+        o = np.asarray(jb.forward((seq[:, t - 16 : t],), temperature=None))
+        tok = (o[..., 0] if o.ndim > 2 else o[0]).reshape(2)
+        assert np.array_equal(tok.astype(seq.dtype), seq[:, t]), t
+
+    # shorter-than-window prompts are zero-padded then stripped
+    out2 = jb.generate((prompts[0][:, :6],), n_steps=4, temperature=0.9)
+    assert np.asarray(out2[0]).shape == (2, 10)
+    assert np.array_equal(np.asarray(out2[0])[:, :6], prompts[0][:, :6])
