@@ -1,3 +1,4 @@
+"""MIR toolbox: clustering, segmentation, samplify, neighbor scores."""
 from .clusters import *
 from .segment import *
 from .samplify import *

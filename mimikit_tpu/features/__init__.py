@@ -1,3 +1,4 @@
+"""Feature layer: unit algebra, functionals, extraction, dataset configs."""
 from .item_spec import *
 from .functionals import *
 from .extractor import *

@@ -29,24 +29,34 @@ class Extractor(Config, type_field=False):
     def load(self, inputs):
         return self.functional(inputs)
 
+    # -- discrete-label post-processing (one mode applies per extractor) ----
+    @staticmethod
+    def _merge_file_labels(labels) -> int:
+        """offset each file's labels so they don't collide (e.g. clustering)"""
+        refs = labels.refs
+        for prev, cur in zip(refs[:-1], refs[1:]):
+            labels[cur] = labels[cur] + int(labels[prev].max()) + 1
+        return int(labels[refs[-1]].max()) + 1
+
+    @staticmethod
+    def _consolidate(labels) -> int:
+        """re-index to a dense 0..K-1 range (e.g. after ArgMax)"""
+        flat = np.asarray(labels[:])
+        unq, inv = np.unique(flat, return_inverse=True)
+        labels[:] = inv.reshape(flat.shape)
+        return len(unq)
+
     def after_create(self, db, attr: str):
         if not isinstance(self.functional.elem_type, Discrete):
             return
         labels = getattr(db, attr)
         if self.merge_files_labels:
-            # offset each file's labels so they don't collide (e.g. clustering)
-            refs = labels.refs
-            for i in range(1, len(refs)):
-                offs = int(labels[refs[i - 1]].max()) + 1
-                labels[refs[i]] = labels[refs[i]] + offs
-            labels.attrs["class_size"] = int(labels[refs[-1]].max()) + 1
+            k = self._merge_file_labels(labels)
         elif self.consolidate_labels:
-            # re-index to a dense range (e.g. after ArgMax)
-            unq, inv = np.unique(labels[:], return_inverse=True)
-            labels[:] = np.arange(len(unq))[inv].reshape(np.asarray(labels[:]).shape)
-            labels.attrs["class_size"] = len(unq)
+            k = self._consolidate(labels)
         else:
-            labels.attrs["class_size"] = int(labels[:].max()) + 1
+            k = int(labels[:].max()) + 1
+        labels.attrs["class_size"] = k
 
     @property
     def class_size(self):

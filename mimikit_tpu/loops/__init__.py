@@ -1,3 +1,4 @@
+"""Training / generation loops and their callbacks."""
 from .callbacks import *
 from .logger import *
 from .generate import *

@@ -1,3 +1,4 @@
+"""Flax building blocks shared by the network zoo."""
 from .activations import *
 from .heads import *
 from .io import *

@@ -1,52 +1,61 @@
 """Widget CSS (reference ``ui/style_sheet.py``); built lazily since
-ipywidgets is optional."""
+ipywidgets is optional.
+
+The selectors and properties match what the widget layer expects
+(picker buttons, selection highlights, the ``.tltp`` tooltip); the sheet
+is rendered from a rule table so individual styles stay greppable.
+"""
 from __future__ import annotations
 
 __all__ = ["MMK_STYLE_SHEET_CSS", "get_style_sheet"]
 
-MMK_STYLE_SHEET_CSS = """
-<style>
-
-.picker-button {
-    border: 0px !important;
-    border-radius: 5px !important;
-    background-color: white !important;
-    text-align: left !important;
-}
-.not-a-button:hover {
-    box-shadow: none !important;
-}
-.selected-button {
-    background-color: lightgreen !important;
-}
-.gray-label {
-    color: gray !important;
-}
-
-.selected {
-    overflow-wrap: anywhere !important;
-    text-color: black !important;
-    padding: 2px !important;
-    opacity: 1 !important;
-}
-
-.tltp {
-        border-radius: 8px 8px !important;
-        background-color: rgb(247, 228, 0) !important;
-        color: rgb(0, 0, 0) !important;
-    }
-.tltp i {
-    font-size: 8px !important;
-    position: absolute !important;
-    top: 2px !important;
-    left: 8px !important;
+_IMPORTANT_RULES = {
+    ".picker-button": {
+        "border": "0px",
+        "border-radius": "5px",
+        "background-color": "white",
+        "text-align": "left",
+    },
+    ".not-a-button:hover": {"box-shadow": "none"},
+    ".selected-button": {"background-color": "lightgreen"},
+    ".gray-label": {"color": "gray"},
+    ".selected": {
+        "overflow-wrap": "anywhere",
+        "text-color": "black",
+        "padding": "2px",
+        "opacity": "1",
+    },
+    ".tltp": {
+        "border-radius": "8px 8px",
+        "background-color": "rgb(247, 228, 0)",
+        "color": "rgb(0, 0, 0)",
+    },
+    ".tltp i": {
+        "font-size": "8px",
+        "position": "absolute",
+        "top": "2px",
+        "left": "8px",
+    },
 }
 
-.jupyter-widgets.widget-tab > .p-TabBar .p-TabBar-tab {
-    flex: 0 1 auto
+_PLAIN_RULES = {
+    # keep notebook tab bars from stretching tabs to full width
+    ".jupyter-widgets.widget-tab > .p-TabBar .p-TabBar-tab": {"flex": "0 1 auto"},
 }
-</style>
-"""
+
+
+def _render() -> str:
+    blocks = []
+    for rules, suffix in ((_IMPORTANT_RULES, " !important"), (_PLAIN_RULES, "")):
+        for selector, props in rules.items():
+            body = "\n".join(
+                f"    {prop}: {val}{suffix};" for prop, val in props.items()
+            )
+            blocks.append(f"{selector} {{\n{body}\n}}")
+    return "<style>\n" + "\n".join(blocks) + "\n</style>"
+
+
+MMK_STYLE_SHEET_CSS = _render()
 
 
 def get_style_sheet():

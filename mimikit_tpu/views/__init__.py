@@ -1,3 +1,4 @@
+"""Notebook view layer: config UIs and interactive apps."""
 from .factory import *
 from .network_views import *
 from .train_arm import *
