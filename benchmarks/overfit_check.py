@@ -4,6 +4,13 @@ verify the generated audio reproduces the tone's dominant frequency.
 This is the full production path — extraction, device batching, jitted
 training, scan decoding, mu-law inversion — with a falsifiable acoustic
 outcome.
+
+``BENCH_NET=transformer`` swaps in SimpleTransformer.  Note it is
+expected to fail at this scale: one-step accuracy reaches ~96% but a
+small sample-level transformer free-runs into collapse (exposure bias
+over the 36-sample tone period) — a modeling limit, not a decode bug
+(the window decoder is bit-equal to the stepwise path; see
+tests/test_transformers.py).  SampleRNN is the flagship and the default.
 """
 import json
 import os
@@ -31,19 +38,37 @@ def main():
         extractors=(mmk.Extractor.signal(sr=sr),),
     )
     db = cfg.create(mode="w")
-    io = mmk.IOSpec.mulaw_io(
-        mmk.IOSpec.MuLawIOConfig(sr=sr, q_levels=256, mlp_dim=128),
-        extractor=cfg.extractors[0],
-    )
-    net = mmk.SampleRNN.from_config(
-        mmk.SampleRNN.Config(frame_sizes=(16, 8, 8), hidden_dim=128, io_spec=io)
-    )
+    which = os.environ.get("BENCH_NET", "samplernn")
+    if which == "transformer":
+        io = mmk.IOSpec.mulaw_io(
+            mmk.IOSpec.MuLawIOConfig(
+                sr=sr, q_levels=256, mlp_dim=128,
+                input_module_type="embedding",
+            ),
+            extractor=cfg.extractors[0],
+        )
+        net = mmk.SimpleTransformer.from_config(
+            mmk.SimpleTransformer.Config(
+                io_spec=io, model_dim=128, n_heads=8, feedforward_dim=256,
+                num_layers=4, rf=128, input_dropout=0.0,
+            )
+        )
+    else:
+        io = mmk.IOSpec.mulaw_io(
+            mmk.IOSpec.MuLawIOConfig(sr=sr, q_levels=256, mlp_dim=128),
+            extractor=cfg.extractors[0],
+        )
+        net = mmk.SampleRNN.from_config(
+            mmk.SampleRNN.Config(
+                frame_sizes=(16, 8, 8), hidden_dim=128, io_spec=io
+            )
+        )
     train = mmk.TrainARMConfig(
         root_dir=os.path.join(tmp, "trainings"),
         batch_size=16,
-        batch_length=1024,
+        batch_length=1024 if which != "transformer" else 512,
         tbptt_chunk_length=sr,
-        max_epochs=6,
+        max_epochs=6 if which != "transformer" else 100,
         max_lr=2e-3,
         every_n_epochs=100,
         MONITOR_TRAINING=False,
@@ -55,14 +80,20 @@ def main():
     loop.run()
     final_loss = loop.metrics.averages().get("loss", float("nan"))
 
+    # prompt from the extracted data (post Normalize/RemoveDC) — the raw
+    # file is NOT what the model saw in training.  (training closed the
+    # handle; reopen)
+    train_sig = np.asarray(cfg.get(mode="r").signal[: sr // 4])
     prompts = (
-        mmk.MuLawCompress(256)(sig[: sr // 4])[None, :].astype(np.int32),
+        mmk.MuLawCompress(256)(train_sig)[None, :].astype(np.int32),
     )
-    out = net.generate(prompts, n_steps=sr, temperature=0.7)
+    temp = 0.7 if which != "transformer" else 0.35
+    out = net.generate(prompts, n_steps=sr, temperature=temp)
     audio = np.asarray(mmk.MuLawExpand(256)(np.asarray(out[0][0, sr // 4 :])))
 
     spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
     freqs = np.fft.rfftfreq(len(audio), 1 / sr)
+    spec[0] = 0.0  # any DC offset is not a "tone"
     dominant = float(freqs[spec.argmax()])
     ok = abs(dominant - freq) < 25.0
     print(
