@@ -34,3 +34,12 @@ def _clear_jax_caches_per_module():
     tests in); clearing the executable caches between modules avoids it."""
     yield
     jax.clear_caches()
+
+
+@pytest.fixture(autouse=True)
+def _seed_numpy():
+    """Deterministic test data: unseeded np.random draws can land exactly on
+    quantization-bin edges and flip assertions run-to-run."""
+    import numpy as np
+
+    np.random.seed(20260816)
