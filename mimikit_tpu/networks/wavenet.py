@@ -12,6 +12,7 @@ decoding share parameters with no module surgery.
 from __future__ import annotations
 
 import dataclasses as dtc
+import os
 from itertools import accumulate, chain
 import operator as opr
 from typing import List, Optional, Tuple
@@ -594,7 +595,12 @@ class WaveNet(ARM):
                 return (tuple(new_bufs), buffers, rng), None
 
             ts = jnp.arange(prior_t, prior_t + n_steps)
-            (bufs, *_), _ = jax.lax.scan(body, (bufs, buffers, rng), ts)
+            # unrolling amortizes per-iteration scan overhead over the many
+            # small per-step conv ops (same win as SampleRNN's decoder)
+            unroll = int(os.environ.get("MMK_DECODE_UNROLL", "8"))
+            (bufs, *_), _ = jax.lax.scan(
+                body, (bufs, buffers, rng), ts, unroll=unroll
+            )
             return bufs
 
         fn = jax.jit(decode)
