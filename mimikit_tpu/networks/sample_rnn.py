@@ -459,8 +459,9 @@ class SampleRNN(ARMWithHidden):
 
             ts = jnp.arange(rf, prior_t + n_steps)
             # unrolling amortizes per-iteration scan overhead across the
-            # many small per-step ops (~13% decode throughput on v5e)
-            unroll = int(os.environ.get("MMK_DECODE_UNROLL", "8"))
+            # many small per-step ops (v5e sweep: 1->37.4k, 8->42.3k,
+            # 16->44.7k, 32->42.7k steps/s; 16 is the knee)
+            unroll = int(os.environ.get("MMK_DECODE_UNROLL", "16"))
             (bufs, *_), _ = jax.lax.scan(
                 body, (bufs, hidden, tier_out, key), ts, unroll=unroll
             )
