@@ -39,6 +39,8 @@ __all__ = [
     "resample_np",
     "mu_compress",
     "mu_expand",
+    "phase_vocoder",
+    "time_stretch_np",
 ]
 
 
@@ -377,3 +379,43 @@ def mu_expand(x, q_levels: int = 256, compression: float = 1.0, xp=np):
         * (xp.exp(xp.abs(y) * np.log1p(mu * compression)) - 1.0)
         / (mu * compression)
     )
+
+
+def phase_vocoder(S: "np.ndarray", rate: float, hop: int) -> "np.ndarray":
+    """Time-stretch a (frames, bins) complex STFT by ``rate`` (librosa's
+    phase-vocoder recurrence: magnitudes linearly interpolated between
+    frames, phases advanced by the accumulated instantaneous frequency).
+
+    rate > 1 speeds up (fewer frames), rate < 1 slows down.
+    """
+    n_fft = 2 * (S.shape[-1] - 1)
+    time_steps = np.arange(0, S.shape[0], rate)
+    # expected per-hop phase advance per bin: 2*pi*hop*k/n_fft
+    phi_advance = 2 * np.pi * hop * np.arange(S.shape[-1]) / n_fft
+
+    S_pad = np.concatenate([S, np.zeros((2, S.shape[-1]), S.dtype)], axis=0)
+    out = np.zeros((len(time_steps), S.shape[-1]), dtype=S.dtype)
+    phase_acc = np.angle(S[0])
+    for i, step in enumerate(time_steps):
+        lo = int(np.floor(step))
+        frac = step - lo
+        a, b = S_pad[lo], S_pad[lo + 1]
+        mag = (1.0 - frac) * np.abs(a) + frac * np.abs(b)
+        out[i] = mag * np.exp(1j * phase_acc)
+        dphase = np.angle(b) - np.angle(a) - phi_advance
+        dphase -= 2.0 * np.pi * np.round(dphase / (2.0 * np.pi))
+        phase_acc = phase_acc + phi_advance + dphase
+    return out
+
+
+def time_stretch_np(
+    y: "np.ndarray", rate: float, n_fft: int = 2048, hop: int = 512
+) -> "np.ndarray":
+    """Phase-vocoder time stretch of a 1-D signal: len(out) ~= len(y)/rate."""
+    S = stft_np(y.astype(np.float32), n_fft, hop, True, "hann")
+    S2 = phase_vocoder(S, rate, hop)
+    out = istft_np(S2, n_fft, hop, True, "hann")
+    n_out = int(round(len(y) / rate))
+    if len(out) < n_out:
+        out = np.pad(out, (0, n_out - len(out)))
+    return out[:n_out].astype(np.float32)
