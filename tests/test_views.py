@@ -115,3 +115,37 @@ def test_file_picker_lists_files(tmp_path):
     # non-matching files are disabled, not hidden
     b_btn = next(b for b in grid if "b.txt" in b.description)
     assert b_btn.disabled
+
+
+def test_timestamps_selector_points():
+    import numpy as np
+
+    from mimikit_tpu.views.timestamps_selector import TimeStampsSelector
+
+    sel = TimeStampsSelector(np.zeros(44100, np.float32), sr=44100)
+    sel.add_point(0.5)
+    sel.add_point(0.25)
+    assert sel.points == [0.25, 0.5]
+    assert list(sel.positions_sec) == [0.25, 0.5]
+
+
+def test_segment_selector_filter_cuts():
+    import numpy as np
+
+    from mimikit_tpu.extract.samplify import Samplifyer
+    from mimikit_tpu.views.segment_selector import filter_cuts
+
+    sr = 16000
+    y = np.concatenate(
+        [
+            np.zeros(sr // 4, np.float32),
+            0.8 * np.sin(np.linspace(0, 100, sr // 2)).astype(np.float32),
+            np.zeros(sr // 4, np.float32),
+        ]
+    )
+    s = Samplifyer(filter_level=2, sensitivity=0.05)
+    s.fit(y)
+    strong = filter_cuts(s, threshold=float(np.min(s.scores)))
+    weak = filter_cuts(s, threshold=float(np.max(s.scores)) + 1.0)
+    assert len(strong) == len(s.cuts)
+    assert len(weak) == 0
