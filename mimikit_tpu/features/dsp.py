@@ -40,7 +40,9 @@ __all__ = [
     "mu_compress",
     "mu_expand",
     "phase_vocoder",
+    "phase_vocoder_jax",
     "time_stretch_np",
+    "time_stretch_jax",
 ]
 
 
@@ -419,3 +421,53 @@ def time_stretch_np(
     if len(out) < n_out:
         out = np.pad(out, (0, n_out - len(out)))
     return out[:n_out].astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _pv_jit(rate: float, hop: int, n_frames: int, n_bins: int):
+    import jax
+    import jax.numpy as jnp
+
+    n_fft = 2 * (n_bins - 1)
+    time_steps = np.arange(0, n_frames, rate)
+    phi_advance = jnp.asarray(2 * np.pi * hop * np.arange(n_bins) / n_fft)
+
+    @jax.jit
+    def pv(S):
+        S_pad = jnp.concatenate(
+            [S, jnp.zeros((2, n_bins), S.dtype)], axis=0
+        )
+
+        def body(phase_acc, step):
+            lo = jnp.floor(step).astype(jnp.int32)
+            frac = step - lo
+            a = jax.lax.dynamic_index_in_dim(S_pad, lo, axis=0, keepdims=False)
+            b = jax.lax.dynamic_index_in_dim(S_pad, lo + 1, axis=0, keepdims=False)
+            mag = (1.0 - frac) * jnp.abs(a) + frac * jnp.abs(b)
+            out = mag * jnp.exp(1j * phase_acc)
+            dphase = jnp.angle(b) - jnp.angle(a) - phi_advance
+            dphase -= 2.0 * jnp.pi * jnp.round(dphase / (2.0 * jnp.pi))
+            return phase_acc + phi_advance + dphase, out
+
+        _, frames = jax.lax.scan(
+            body, jnp.angle(S[0]), jnp.asarray(time_steps, jnp.float32)
+        )
+        return frames
+
+    return pv
+
+
+def phase_vocoder_jax(S, rate: float, hop: int):
+    """jitted phase vocoder over a (frames, bins) complex STFT."""
+    return _pv_jit(float(rate), int(hop), S.shape[0], S.shape[-1])(S)
+
+
+def time_stretch_jax(y, rate: float, n_fft: int = 2048, hop: int = 512):
+    import jax.numpy as jnp
+
+    S = stft_jax(y.astype(jnp.float32), n_fft, hop, True, "hann")
+    out = istft_jax(phase_vocoder_jax(S, rate, hop), n_fft, hop, True, "hann")
+    n_out = int(round(y.shape[-1] / rate))
+    if out.shape[-1] < n_out:
+        out = jnp.pad(out, (0, n_out - out.shape[-1]))
+    return out[:n_out].astype(jnp.float32)

@@ -1294,6 +1294,11 @@ class TimeStretch(Functional):
             ]
         )
 
+    def jax_func(self, inputs):
+        from .dsp import time_stretch_jax
+
+        return time_stretch_jax(inputs, self.rate, self.n_fft, self.hop_length)
+
     @property
     def inv(self) -> "Functional":
         return TimeStretch(

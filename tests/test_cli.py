@@ -71,3 +71,23 @@ def test_time_stretch_functional_inverse():
     out = f(y)
     assert len(out) == 8000
     assert len(f.inv(out)) == 16000
+
+
+def test_time_stretch_jax_path_matches_np():
+    import jax.numpy as jnp
+
+    import mimikit_tpu as mmk
+
+    sr = 16000
+    y = np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32)
+    f = mmk.TimeStretch(rate=0.5, n_fft=1024, hop_length=256)
+    a = f(y)
+    b = np.asarray(f(jnp.asarray(y)))
+    assert a.shape == b.shape == (2 * sr,)
+    # f32 phase accumulation drifts slightly vs the f64 host path; both
+    # must stay pitch-exact
+    assert np.abs(a - b).max() < 5e-2
+    for out in (a, b):
+        spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
+        fd = np.fft.rfftfreq(len(out), 1 / sr)[spec[1:].argmax() + 1]
+        assert abs(fd - 440.0) < 15.0
