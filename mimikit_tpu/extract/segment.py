@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from typing import List
 
+from functools import lru_cache
+
 import numpy as np
 
 __all__ = [
@@ -15,6 +17,7 @@ __all__ = [
     "convolve_diagonals",
     "checker",
     "discontinuity_scores",
+    "discontinuity_scores_jax",
     "pick_globally_sorted_maxes",
     "peak_pick",
     "from_recurrence_matrix",
@@ -249,3 +252,58 @@ def optimal_path(x, y):
 
     C = pwd(np.abs(x), np.abs(y), metric="cosine")
     return dtw(C, subseq=True)[1]
+
+
+@lru_cache(maxsize=None)
+def _disc_scores_jit(N: int, D: int, kernel_sizes: tuple):
+    import jax
+    import jax.numpy as jnp
+
+    ks = [(k * 2) + 1 for k in kernel_sizes]
+    max_kernel = max(ks)
+
+    def banded_cosine(X, k):
+        norms = jnp.linalg.norm(X, axis=1, keepdims=True)
+        Xn = jnp.where(norms == 0, 0.0, X / jnp.where(norms == 0, 1.0, norms))
+        S = Xn @ Xn.T  # (N, N) — one MXU matmul instead of a banded loop
+        Dm = 1.0 - S
+        offs = jnp.arange(-(k - 1), k)
+        rows = jnp.arange(N)[:, None]
+        cols = rows + offs[None, :]
+        valid = (cols >= 0) & (cols < N) & (offs[None, :] != 0)
+        band = jnp.where(valid, Dm[rows, jnp.clip(cols, 0, N - 1)], 0.0)
+        return band  # (N, 2k-1)
+
+    def convolve(band, kernel):
+        K = kernel.shape[0]
+        n_out = band.shape[0] - K + 1
+        out = jnp.zeros(n_out)
+        for j in range(K):
+            rows = band[j : j + n_out, K - j - 1 : 2 * K - j - 1]
+            out = out + rows @ kernel[j]
+        return out
+
+    @jax.jit
+    def run(X):
+        band_full = banded_cosine(X.astype(jnp.float32), max_kernel)
+        scores = []
+        for k in ks:
+            kd2 = k // 2
+            extra = max_kernel - k
+            bk = band_full[:, extra : band_full.shape[1] - extra] if extra else band_full
+            bk = jnp.pad(bk, ((kd2, kd2), (0, 0)))
+            kern = jnp.asarray(checker(kd2, normalize=True))
+            scr = convolve(bk, kern)
+            scr = scr - scr.min()
+            scores.append(jnp.pad(scr, (0, N - scr.shape[0])))
+        return jnp.stack(scores)
+
+    return run
+
+
+def discontinuity_scores_jax(X, kernel_sizes: List[int]):
+    """On-device ``discontinuity_scores``: the banded cosine recurrence is
+    computed as one dense (N, N) matmul on the MXU, then checker-kernel
+    correlated — the whole pipeline is a single jitted dispatch."""
+    X = np.asarray(X) if not hasattr(X, "devices") else X
+    return _disc_scores_jit(X.shape[0], X.shape[1], tuple(kernel_sizes))(X)

@@ -65,3 +65,16 @@ def test_dtw_subsequence():
     D, path = dtw(C, subseq=True)
     assert path[-1][0] == 3  # full query consumed
     assert 2 <= path[-1][1] <= 7  # ends inside the cheap band
+
+
+def test_discontinuity_scores_jax_matches_host():
+    from mimikit_tpu.extract.segment import (
+        discontinuity_scores,
+        discontinuity_scores_jax,
+    )
+
+    X = np.abs(np.random.RandomState(0).randn(200, 32)) + 0.1
+    host = discontinuity_scores(X, [4, 6])
+    dev = np.asarray(discontinuity_scores_jax(X, [4, 6]))
+    assert host.shape == dev.shape
+    assert np.abs(host - dev).max() < 1e-4
