@@ -72,3 +72,33 @@ def test_owner_class():
     # Functional's owner mapping: a nested Config maps back to its outer class
     f = mmk.MuLawCompress()
     assert f.owner_class is mmk.MuLawCompress
+
+
+def test_every_network_config_roundtrips():
+    """Serialize -> deserialize every network family's Config with a real
+    io_spec; the YAML wire format must reconstruct an equal config."""
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    mag = mmk.IOSpec.magspec_io(
+        mmk.IOSpec.MagSpecIOConfig(n_fft=256, hop_length=64)
+    )
+    configs = [
+        mmk.SampleRNN.Config(frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=io),
+        mmk.WaveNet.Config(io_spec=io, blocks=(3,), dims_dilated=(16,)),
+        mmk.Seq2SeqLSTMNetwork.Config(io_spec=mag, model_dim=32, hop=4),
+        mmk.SimpleTransformer.Config(
+            io_spec=io, model_dim=16, n_heads=2, feedforward_dim=32,
+            num_layers=1, rf=8,
+        ),
+        mmk.JukeBox.Config(
+            io_spec=io, frame_sizes=(8, 4, 2), model_dim=16, n_heads=2,
+            feedforward_dim=32, num_layers=1, rf=16,
+        ),
+        mmk.TrainARMConfig(batch_size=4, batch_length=16, max_epochs=2),
+        mmk.GenerateLoopV2.Config(
+            prompts_length_sec=0.1, output_duration_sec=0.1
+        ),
+    ]
+    for cfg in configs:
+        clone = mmk.Config.deserialize(cfg.serialize())
+        assert type(clone) is type(cfg), type(cfg).__name__
+        assert clone.serialize() == cfg.serialize(), type(cfg).__name__
