@@ -5,6 +5,10 @@ This is the full production path — extraction, device batching, jitted
 training, scan decoding, mu-law inversion — with a falsifiable acoustic
 outcome.
 
+``BENCH_NET=freqnet`` swaps in the frame-domain path (WaveNet over
+magnitude frames, Griffin-Lim inversion) — passes at 438 Hz (bin-exact
+at the 15.6 Hz frame resolution).
+
 ``BENCH_NET=transformer`` swaps in SimpleTransformer.  Note it is
 expected to fail at this scale: one-step accuracy reaches ~96% but a
 small sample-level transformer free-runs into collapse (exposure bias
@@ -39,7 +43,22 @@ def main():
     )
     db = cfg.create(mode="w")
     which = os.environ.get("BENCH_NET", "samplernn")
-    if which == "transformer":
+    if which == "freqnet":
+        # frame-domain path: WaveNet over magnitude frames, GLA inversion
+        io = mmk.IOSpec.magspec_io(
+            mmk.IOSpec.MagSpecIOConfig(
+                sr=sr, n_fft=1024, hop_length=256, activation="Identity"
+            ),
+            cfg.extractors[0],
+        )
+        net = mmk.WaveNet.from_config(
+            mmk.WaveNet.Config(
+                io_spec=io, kernel_sizes=(2,), blocks=(3,),
+                dims_dilated=(512,), residuals_dim=None, skips_dim=None,
+                groups=4, pad_side=0,
+            )
+        )
+    elif which == "transformer":
         io = mmk.IOSpec.mulaw_io(
             mmk.IOSpec.MuLawIOConfig(
                 sr=sr, q_levels=256, mlp_dim=128,
@@ -63,33 +82,60 @@ def main():
                 frame_sizes=(16, 8, 8), hidden_dim=128, io_spec=io
             )
         )
+    batch_lengths = {"transformer": 512, "freqnet": 32}
+    epochs = {"transformer": 100, "freqnet": 10}
     train = mmk.TrainARMConfig(
         root_dir=os.path.join(tmp, "trainings"),
         batch_size=16,
-        batch_length=1024 if which != "transformer" else 512,
-        tbptt_chunk_length=sr,
-        max_epochs=6 if which != "transformer" else 100,
+        batch_length=batch_lengths.get(which, 1024),
+        limit_train_batches=200 if which == "freqnet" else None,
+        # TBPTT chunking only applies to the recurrent sample-domain model
+        tbptt_chunk_length=sr if which == "samplernn" else None,
+        max_epochs=epochs.get(which, 6),
         max_lr=2e-3,
         every_n_epochs=100,
         MONITOR_TRAINING=False,
         OUTPUT_TRAINING="",
         CHECKPOINT_TRAINING=False,
-        trainer_kwargs={"device_batching": True},
+        trainer_kwargs={"device_batching": which != "freqnet"},
     )
     loop = mmk.TrainARMLoop.from_config(train, db, net)
     loop.run()
     final_loss = loop.metrics.averages().get("loss", float("nan"))
 
-    # prompt from the extracted data (post Normalize/RemoveDC) — the raw
-    # file is NOT what the model saw in training.  (training closed the
-    # handle; reopen)
-    train_sig = np.asarray(cfg.get(mode="r").signal[: sr // 4])
-    prompts = (
-        mmk.MuLawCompress(256)(train_sig)[None, :].astype(np.int32),
-    )
-    temp = 0.7 if which != "transformer" else 0.35
-    out = net.generate(prompts, n_steps=sr, temperature=temp)
-    audio = np.asarray(mmk.MuLawExpand(256)(np.asarray(out[0][0, sr // 4 :])))
+    if which == "freqnet":
+        # frame-domain generation: GenerateLoopV2 handles the magspec
+        # transform and the Griffin-Lim inversion generically
+        gen = mmk.GenerateLoopV2.from_config(
+            mmk.GenerateLoopV2.Config(
+                prompts_length_sec=1.0,
+                output_duration_sec=1.0,
+                prompts_position_sec=(0.0,),
+                batch_size=1,
+                parameters=dict(temperature=None),
+                display_waveform=False,
+                yield_inversed_outputs=True,
+            ),
+            cfg.get(mode="r"),
+            net,
+        )
+        audio = None
+        for outputs in gen.run():
+            audio = np.asarray(outputs[0][0])[sr:]  # continuation only
+        assert audio is not None
+    else:
+        # prompt from the extracted data (post Normalize/RemoveDC) — the
+        # raw file is NOT what the model saw in training.  (training
+        # closed the handle; reopen)
+        train_sig = np.asarray(cfg.get(mode="r").signal[: sr // 4])
+        prompts = (
+            mmk.MuLawCompress(256)(train_sig)[None, :].astype(np.int32),
+        )
+        temp = 0.7 if which != "transformer" else 0.35
+        out = net.generate(prompts, n_steps=sr, temperature=temp)
+        audio = np.asarray(
+            mmk.MuLawExpand(256)(np.asarray(out[0][0, sr // 4 :]))
+        )
 
     spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
     freqs = np.fft.rfftfreq(len(audio), 1 / sr)
