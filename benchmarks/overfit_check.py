@@ -6,8 +6,9 @@ training, scan decoding, mu-law inversion — with a falsifiable acoustic
 outcome.
 
 ``BENCH_NET=freqnet`` swaps in the frame-domain path (WaveNet over
-magnitude frames, Griffin-Lim inversion) — passes at 438 Hz (bin-exact
-at the 15.6 Hz frame resolution).
+magnitude frames, Griffin-Lim inversion); ``BENCH_NET=seq2seq`` the
+encoder/decoder LSTM over the same frames — both pass at 438 Hz
+(bin-exact at the 15.6 Hz frame resolution).
 
 ``BENCH_NET=transformer`` swaps in SimpleTransformer.  Note it is
 expected to fail at this scale: one-step accuracy reaches ~96% but a
@@ -58,6 +59,16 @@ def main():
                 groups=4, pad_side=0,
             )
         )
+    elif which == "seq2seq":
+        io = mmk.IOSpec.magspec_io(
+            mmk.IOSpec.MagSpecIOConfig(
+                sr=sr, n_fft=1024, hop_length=256, activation="Identity"
+            ),
+            cfg.extractors[0],
+        )
+        net = mmk.Seq2SeqLSTMNetwork.from_config(
+            mmk.Seq2SeqLSTMNetwork.Config(io_spec=io, model_dim=256, hop=8)
+        )
     elif which == "transformer":
         io = mmk.IOSpec.mulaw_io(
             mmk.IOSpec.MuLawIOConfig(
@@ -82,13 +93,13 @@ def main():
                 frame_sizes=(16, 8, 8), hidden_dim=128, io_spec=io
             )
         )
-    batch_lengths = {"transformer": 512, "freqnet": 32}
-    epochs = {"transformer": 100, "freqnet": 10}
+    batch_lengths = {"transformer": 512, "freqnet": 32, "seq2seq": 16}
+    epochs = {"transformer": 100, "freqnet": 10, "seq2seq": 10}
     train = mmk.TrainARMConfig(
         root_dir=os.path.join(tmp, "trainings"),
         batch_size=16,
         batch_length=batch_lengths.get(which, 1024),
-        limit_train_batches=200 if which == "freqnet" else None,
+        limit_train_batches=200 if which in ("freqnet", "seq2seq") else None,
         # TBPTT chunking only applies to the recurrent sample-domain model
         tbptt_chunk_length=sr if which == "samplernn" else None,
         max_epochs=epochs.get(which, 6),
@@ -97,13 +108,15 @@ def main():
         MONITOR_TRAINING=False,
         OUTPUT_TRAINING="",
         CHECKPOINT_TRAINING=False,
-        trainer_kwargs={"device_batching": which != "freqnet"},
+        trainer_kwargs={
+            "device_batching": which not in ("freqnet", "seq2seq")
+        },
     )
     loop = mmk.TrainARMLoop.from_config(train, db, net)
     loop.run()
     final_loss = loop.metrics.averages().get("loss", float("nan"))
 
-    if which == "freqnet":
+    if which in ("freqnet", "seq2seq"):
         # frame-domain generation: GenerateLoopV2 handles the magspec
         # transform and the Griffin-Lim inversion generically
         gen = mmk.GenerateLoopV2.from_config(
