@@ -92,9 +92,27 @@ class Database:
     def __init__(self, filename: str, mode: str = "r", keep_open: bool = True):
         self.filename = filename
         self.mode = mode
-        self.h5f = h5py.File(filename, mode)
+        self._h5f = h5py.File(filename, mode)
         self._cache: Dict[str, np.ndarray] = {}
         self.config = None  # set by DatasetConfig.get/create
+
+    @property
+    def h5f(self):
+        """Auto-reopens after close(): training loops close their handle on
+        teardown, but the Database object commonly outlives them (e.g.
+        train then generate from the same db)."""
+        f = self._h5f
+        if not f:  # h5py file truthiness == is-open
+            # a write-mode file already exists afterwards: reopen r+
+            mode = {"w": "r+", "w-": "r+", "x": "r+", "a": "r+"}.get(
+                self.mode, self.mode
+            )
+            f = self._h5f = h5py.File(self.filename, mode)
+        return f
+
+    @h5f.setter
+    def h5f(self, value):
+        self._h5f = value
 
     # -- array management ---------------------------------------------------
     def add_array(
@@ -159,7 +177,7 @@ class Database:
 
     def close(self):
         try:
-            self.h5f.close()
+            self._h5f.close()
         except Exception:
             pass
 

@@ -238,3 +238,17 @@ def test_indices_sampler_fixed_and_random():
     idx = list(iter(smp))
     assert idx[0] == 5 and idx[2] == 11
     assert idx[1] % 4 == 0 and 0 <= idx[1] < 100
+
+
+def test_database_reopens_after_close(tmp_path):
+    """Training loops close their handle on teardown, but the Database
+    object commonly outlives them (train then generate from the same db)."""
+    import numpy as np
+
+    db = make_db_config(tmp_path, n_samples=2000, filename="ro.h5").create(
+        mode="w"
+    )
+    a = np.asarray(db.signal[:8])
+    db.close()
+    b = np.asarray(db.signal[:8])
+    assert np.array_equal(a, b)
