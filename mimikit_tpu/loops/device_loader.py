@@ -104,6 +104,7 @@ class DeviceBatcher:
                 outs.append(win)
             return tuple(outs)
 
+        self.gather_raw = gather  # unjitted: the train loop fuses it
         self._gather = jax.jit(gather)
 
     def _index_batches(self):

@@ -19,6 +19,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..config import Config
@@ -324,6 +325,50 @@ class TrainARMLoop:
         else:
             self._step_fn = jax.jit(step, donate_argnums=(0, 1))
 
+        # fused multi-step path: K batches of window gather + rng split +
+        # train step + metric accumulation run as ONE lax.scan in ONE
+        # dispatch, with ONE (K, B) index upload.  The per-batch loop pays
+        # a host->device index transfer and several dispatches per step —
+        # milliseconds each through a remote-device tunnel.
+        self._fused_step_fn = None
+        from .device_loader import DeviceBatcher
+
+        if self.mesh is None and isinstance(self.loader, DeviceBatcher):
+            from ..data.batch import Input, process_batch
+
+            gather = self.loader.gather_raw
+            batch_tree = self.loader.batch
+
+            def fused(params, opt_state, hidden, metric_sums, rng, idxs):
+                def body(carry, idx):
+                    params, opt_state, hidden, metric_sums, rng = carry
+                    rng, sub = jax.random.split(rng)
+                    flat = gather(idx)
+                    it = iter(flat)
+                    inputs, targets = process_batch(
+                        batch_tree,
+                        lambda x: isinstance(x, Input),
+                        lambda x: next(it),
+                    )
+                    params, opt_state, hidden, d = step(
+                        params, opt_state, hidden, inputs, targets, sub
+                    )
+                    metric_sums = jax.tree_util.tree_map(
+                        lambda a, b: a + b, metric_sums, d
+                    )
+                    return (
+                        (params, opt_state, hidden, metric_sums, rng),
+                        d["loss"],
+                    )
+
+                carry = (params, opt_state, hidden, metric_sums, rng)
+                (params, opt_state, hidden, metric_sums, rng), losses = (
+                    jax.lax.scan(body, carry, idxs)
+                )
+                return params, opt_state, hidden, metric_sums, rng, losses[-1]
+
+            self._fused_step_fn = jax.jit(fused, donate_argnums=(0, 1, 3))
+
     def _prepare_batch(self, batch):
         (inputs, targets) = batch
         inputs = tuple(jnp.asarray(x) for x in inputs)
@@ -371,43 +416,83 @@ class TrainARMLoop:
                 self.metrics.on_epoch_start()
                 metric_sums = None
                 n_batches = 0
-                bar = tqdm(
-                    self.loader,
-                    total=len(self.loader),
-                    desc=f"Epoch {epoch}",
-                    leave=False,
-                    mininterval=1.0,
-                )
-                for batch_idx, batch in enumerate(bar):
-                    if (
-                        cfg.limit_train_batches is not None
-                        and batch_idx >= cfg.limit_train_batches
-                    ):
-                        break
-                    if self.tbptt_len is not None and (
-                        batch_idx % self.tbptt_len
-                    ) == 0:
-                        hidden = None
-                    inputs, targets = self._prepare_batch(batch)
-                    if hidden is None:
-                        # steady-state jit caches one (hidden != None) shape:
-                        # materialize zeros instead of the None pytree
-                        hidden = self._zero_hidden(inputs)
-                    params, self.opt_state, hidden, d = self._step_fn(
-                        params, self.opt_state, hidden, inputs, targets,
-                        self.net.next_rng(),
+                fused = self._fused_step_fn is not None
+                if fused:
+                    rng = self.net.next_rng()
+                    last_B = None
+                    next_check = 0
+                    bar = tqdm(
+                        total=len(self.loader),
+                        desc=f"Epoch {epoch}",
+                        leave=False,
+                        mininterval=1.0,
                     )
-                    self.global_step += 1
-                    n_batches += 1
-                    metric_sums = (
-                        d
-                        if metric_sums is None
-                        else jax.tree_util.tree_map(
-                            lambda a, b: a + b, metric_sums, d
+                    for group in self._dispatch_groups(cfg):
+                        idxs = jnp.asarray(
+                            np.asarray(group, np.int32)
+                        )  # (K, B): ONE upload per dispatch
+                        K, B = int(idxs.shape[0]), int(idxs.shape[1])
+                        if n_batches == 0 or B != last_B:
+                            hidden, metric0 = self._fused_shapes(B)
+                            if metric_sums is None:
+                                metric_sums = metric0
+                        elif self.tbptt_len is not None and (
+                            n_batches % self.tbptt_len
+                        ) == 0:
+                            hidden, _ = self._fused_shapes(B)
+                        last_B = B
+                        (
+                            params, self.opt_state, hidden, metric_sums,
+                            rng, last_loss,
+                        ) = self._fused_step_fn(
+                            params, self.opt_state, hidden, metric_sums,
+                            rng, idxs,
                         )
+                        self.global_step += K
+                        n_batches += K
+                        bar.update(K)
+                        if n_batches >= next_check:
+                            self.metrics.check_loss(float(last_loss))
+                            next_check = n_batches + nan_check_every
+                    bar.close()
+                else:
+                    bar = tqdm(
+                        self.loader,
+                        total=len(self.loader),
+                        desc=f"Epoch {epoch}",
+                        leave=False,
+                        mininterval=1.0,
                     )
-                    if (batch_idx % nan_check_every) == 0:
-                        self.metrics.check_loss(float(d["loss"]))
+                    for batch_idx, batch in enumerate(bar):
+                        if (
+                            cfg.limit_train_batches is not None
+                            and batch_idx >= cfg.limit_train_batches
+                        ):
+                            break
+                        if self.tbptt_len is not None and (
+                            batch_idx % self.tbptt_len
+                        ) == 0:
+                            hidden = None
+                        inputs, targets = self._prepare_batch(batch)
+                        if hidden is None:
+                            # steady-state jit caches one (hidden != None)
+                            # shape: materialize zeros instead of None
+                            hidden = self._zero_hidden(inputs)
+                        params, self.opt_state, hidden, d = self._step_fn(
+                            params, self.opt_state, hidden, inputs, targets,
+                            self.net.next_rng(),
+                        )
+                        self.global_step += 1
+                        n_batches += 1
+                        metric_sums = (
+                            d
+                            if metric_sums is None
+                            else jax.tree_util.tree_map(
+                                lambda a, b: a + b, metric_sums, d
+                            )
+                        )
+                        if (batch_idx % nan_check_every) == 0:
+                            self.metrics.check_loss(float(d["loss"]))
                 self.net.params = params
                 if metric_sums is not None:
                     avgs = {
@@ -438,6 +523,67 @@ class TrainARMLoop:
         self.metrics.on_fit_end()
         self.dataset.close()
         return self
+
+    def _dispatch_groups(self, cfg):
+        """Group the epoch's index batches into (K, B) dispatch units:
+        uniform batch size, never spanning a TBPTT chunk boundary (hidden
+        resets happen host-side between dispatches)."""
+        G = int(cfg.trainer_kwargs.get("steps_per_dispatch", 16))
+        group: list = []
+        for batch_idx, idx in enumerate(self.loader._index_batches()):
+            if (
+                cfg.limit_train_batches is not None
+                and batch_idx >= cfg.limit_train_batches
+            ):
+                break
+            at_boundary = self.tbptt_len is not None and (
+                batch_idx % self.tbptt_len
+            ) == 0
+            size_change = group and len(idx) != len(group[0])
+            if group and (at_boundary or size_change or len(group) >= G):
+                yield group
+                group = []
+            group.append(np.asarray(idx))
+        if group:
+            yield group
+
+    def _fused_shapes(self, batch_size: int):
+        """Shape-level (hidden, metric) templates for the fused step —
+        eval_shape only, nothing touches the device."""
+        cache = getattr(self, "_fused_shape_cache", None)
+        if cache is None:
+            cache = self._fused_shape_cache = {}
+        if batch_size not in cache:
+            from ..data.batch import Input, process_batch
+
+            flat = jax.eval_shape(
+                self.loader.gather_raw,
+                jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+            )
+            it = iter(flat)
+            inputs, targets = process_batch(
+                self.loader.batch,
+                lambda x: isinstance(x, Input),
+                lambda x: next(it),
+            )
+            outputs_s, hidden_s = jax.eval_shape(
+                lambda p, inp: self.net.module.apply(
+                    {"params": p}, inp, None, True,
+                    rngs={
+                        "dropout": jax.random.PRNGKey(0),
+                        "sample": jax.random.PRNGKey(0),
+                    },
+                ),
+                self.net.params,
+                inputs,
+            )
+            d_s = jax.eval_shape(self.loss_fn, outputs_s, targets)
+            cache[batch_size] = (hidden_s, d_s)
+        hidden_s, d_s = cache[batch_size]
+        zeros = lambda tree: jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), tree
+        )
+        return zeros(hidden_s), zeros(d_s)
 
     def _zero_hidden(self, inputs):
         """Initial hidden carry matching the module's structure."""

@@ -2,6 +2,7 @@
 (reference ``tests/test_train_loop.py``)."""
 import os
 
+import numpy as np
 import pytest
 
 import mimikit_tpu as mmk
@@ -133,6 +134,72 @@ def test_accumulate_grad_batches(tmp_path):
         MONITOR_TRAINING=False,
         OUTPUT_TRAINING="",
         trainer_kwargs={"accumulate_grad_batches": 2},
+    )
+    loop = mmk.TrainARMLoop.from_config(cfg, dataset=db, network=net)
+    loop.run()
+    import os
+
+    assert "epoch=1.ckpt" in os.listdir(os.path.join(str(tmp_path), loop.hash_))
+
+
+def test_fused_device_batched_training(tmp_path):
+    """Device batching without TBPTT goes through the fused single-dispatch
+    step (gather + rng + step + metric accumulation in one jitted call)."""
+    ds_cfg = make_db_config(tmp_path, filename="fused.h5")
+    db = ds_cfg.create(mode="w")
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16),
+        extractor=ds_cfg.extractors[0],
+    )
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(4, 2, 2), hidden_dim=16, io_spec=io)
+    )
+    cfg = mmk.TrainARMConfig(
+        root_dir=str(tmp_path),
+        batch_size=4,
+        batch_length=16,
+        limit_train_batches=4,
+        max_epochs=2,
+        every_n_epochs=1,
+        CHECKPOINT_TRAINING=True,
+        MONITOR_TRAINING=False,
+        OUTPUT_TRAINING="",
+        trainer_kwargs={"device_batching": True},
+    )
+    loop = mmk.TrainARMLoop.from_config(cfg, dataset=db, network=net)
+    loop.run()
+    assert loop._fused_step_fn is not None  # the fused path was built
+    import os
+
+    assert "epoch=2.ckpt" in os.listdir(os.path.join(str(tmp_path), loop.hash_))
+    # metrics accumulated across the fused steps
+    assert np.isfinite(loop.metrics.averages().get("loss", np.nan))
+
+
+def test_fused_with_tbptt_matches_checkpointing(tmp_path):
+    """TBPTT + device batching also runs fused (hidden reset at chunk
+    boundaries happens host-side between dispatches)."""
+    ds_cfg = make_db_config(tmp_path, n_samples=8000, filename="fusedtb.h5")
+    db = ds_cfg.create(mode="w")
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16),
+        extractor=ds_cfg.extractors[0],
+    )
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(4, 2, 2), hidden_dim=16, io_spec=io)
+    )
+    cfg = mmk.TrainARMConfig(
+        root_dir=str(tmp_path),
+        batch_size=2,
+        batch_length=32,
+        tbptt_chunk_length=512,
+        limit_train_batches=8,
+        max_epochs=1,
+        every_n_epochs=1,
+        CHECKPOINT_TRAINING=True,
+        MONITOR_TRAINING=False,
+        OUTPUT_TRAINING="",
+        trainer_kwargs={"device_batching": True},
     )
     loop = mmk.TrainARMLoop.from_config(cfg, dataset=db, network=net)
     loop.run()
