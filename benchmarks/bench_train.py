@@ -108,7 +108,82 @@ def main():
         )
     )
     bench_net("wavenet10", wn, io2, batch_size=8, batch_length=4096)
+    bench_loop_level()
     print(f"# backend={jax.default_backend()}", file=sys.stderr)
+
+
+
+
+def bench_loop_level():
+    """End-to-end TrainARMLoop throughput (fused steps_per_dispatch path):
+    includes index sampling, gather, metrics — everything but callbacks."""
+    import os
+    import tempfile
+    import time
+
+    import numpy as np
+    from scipy.io import wavfile
+
+    import mimikit_tpu as mmk
+
+    sr = 16000
+    tmp = tempfile.mkdtemp()
+    t = np.arange(sr * 60) / sr
+    y = (
+        0.6 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 587 * t)
+    ).astype(np.float32)
+    wav = os.path.join(tmp, "s.wav")
+    wavfile.write(wav, sr, (y * 32767).astype(np.int16))
+    cfg = mmk.DatasetConfig(
+        sources=(wav,), filename=os.path.join(tmp, "db.h5"),
+        extractors=(mmk.Extractor.signal(sr=sr),),
+    )
+    db = cfg.create(mode="w")
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(sr=sr, q_levels=256, mlp_dim=128),
+        extractor=cfg.extractors[0],
+    )
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(16, 8, 8), hidden_dim=256, io_spec=io)
+    )
+    batch_size, batch_length, per_epoch = 32, 2048, 64
+    train = mmk.TrainARMConfig(
+        root_dir=os.path.join(tmp, "tr"),
+        batch_size=batch_size,
+        batch_length=batch_length,
+        max_epochs=6,
+        limit_train_batches=per_epoch,
+        max_lr=1e-4,
+        every_n_epochs=100,
+        MONITOR_TRAINING=False,
+        OUTPUT_TRAINING="",
+        CHECKPOINT_TRAINING=False,
+        trainer_kwargs={"device_batching": True, "nan_check_every": 10**9},
+    )
+    loop = mmk.TrainARMLoop.from_config(train, db, net)
+    times = []
+    loop.on_train_epoch_end = lambda *a: times.append(time.perf_counter())
+    t0 = time.perf_counter()
+    loop.run()
+    deltas = [b - a for a, b in zip([t0] + times[:-1], times)]
+    steady = deltas[2:]  # first epochs include compiles
+    per = sum(steady) / len(steady) / per_epoch
+    samples_per_sec = batch_size * batch_length / per
+    print(
+        json.dumps(
+            {
+                "metric": "samplernn3_train_loop_samples_per_sec",
+                "value": round(samples_per_sec, 1),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_sec / 16000.0, 1),
+            }
+        )
+    )
+    print(
+        f"# loop-level: {per*1e3:.1f} ms/step"
+        f" (fused={loop._fused_step_fn is not None})",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":
