@@ -89,10 +89,13 @@ class TrainARMLoop:
 
     @classmethod
     def get_dataloader(cls, dataset, net, cfg: TrainARMConfig):
-        # trainer_kwargs={"device_batching": True} uploads the feature arrays
-        # once and gathers batches on device (loops/device_loader.py) — the
-        # TPU-native replacement for the reference's worker processes
-        if cfg.trainer_kwargs.get("device_batching", False):
+        # Device batching (default ON): feature arrays upload once, batches
+        # gather on device, and the loop scans steps_per_dispatch steps per
+        # dispatch — the TPU-native replacement for the reference's worker
+        # processes.  Batches are bit-identical to the host loader's
+        # (tests/test_ops.py); falls back automatically when a transform has
+        # no jax path.  Opt out: trainer_kwargs={"device_batching": False}.
+        if cfg.trainer_kwargs.get("device_batching", True):
             from .device_loader import make_train_loader
 
             return make_train_loader(dataset, net, cfg, prefer_device=True)
