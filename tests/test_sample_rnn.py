@@ -159,3 +159,23 @@ def test_fast_decode_matches_stepwise():
         buf[:, t] = np.asarray(out[0][:, 0])
     net.after_generate((), 0)
     assert np.array_equal(buf[:, P:], fast)
+
+
+def test_decode_unroll_is_bit_identical(monkeypatch):
+    """Scan unrolling is a scheduling knob: any MMK_DECODE_UNROLL value
+    must produce the same samples."""
+    import os
+
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=io)
+    )
+    net.seed(0)
+    prompts = (np.random.randint(0, 32, (2, 16)).astype(np.int32),)
+
+    monkeypatch.setenv("MMK_DECODE_UNROLL", "1")
+    a = np.asarray(net.generate(prompts, n_steps=11, temperature=None)[0])
+    net._decoders.clear()  # force a rebuild under the new unroll
+    monkeypatch.setenv("MMK_DECODE_UNROLL", "4")
+    b = np.asarray(net.generate(prompts, n_steps=11, temperature=None)[0])
+    assert np.array_equal(a, b)
