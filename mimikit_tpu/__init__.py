@@ -24,6 +24,7 @@ from .loops import *
 from .checkpoint import *
 from .extract import *
 from .models import *
+from .migrate import *
 from . import parallel
 from . import ui
 from .ui import *

@@ -1,0 +1,170 @@
+"""Import trained reference (torch) checkpoints.
+
+The reference stores ``network/state_dict`` h5 banks of torch tensors
+(``/root/reference/mimikit/checkpoint.py:64-91``).  This module maps those
+parameter names/layouts onto the flax trees used here so a user can carry
+trained models across.  Currently covers SampleRNN (the flagship) for
+mu-law IO specs; the primitive conversions (dense/conv transposes, torch
+LSTM gate packing) are pinned against torch itself in
+``tests/torch_parity_impl.py``.
+
+The state dict can be given as a plain ``{name: np.ndarray}`` dict — no
+torch import is required here (torch must never load next to jax in this
+process; convert tensors in a subprocess if needed).
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+__all__ = [
+    "load_reference_state_dict",
+    "samplernn_params_from_state_dict",
+]
+
+_GATES = ("i", "f", "g", "o")  # torch's packed LSTM gate order
+
+
+def load_reference_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read ``network/state_dict`` out of a reference ``.ckpt`` h5 bank."""
+    import h5py
+
+    out: Dict[str, np.ndarray] = {}
+    with h5py.File(path, "r") as f:
+        grp = f["network/state_dict"]
+
+        def visit(name, obj):
+            if isinstance(obj, h5py.Dataset):
+                out[name.replace("/", ".")] = np.asarray(obj)
+
+        grp.visititems(visit)
+    return out
+
+
+def _set(params, path, value, expect_shape=True):
+    node = params
+    parts = path.split("/")
+    for p in parts[:-1]:
+        node = node[p]
+    old = node[parts[-1]]
+    if expect_shape and tuple(old.shape) != tuple(value.shape):
+        raise ValueError(
+            f"shape mismatch at {path}: have {tuple(old.shape)}, "
+            f"importing {tuple(value.shape)}"
+        )
+    import jax.numpy as jnp
+
+    node[parts[-1]] = jnp.asarray(value, old.dtype)
+
+
+def samplernn_params_from_state_dict(net, sd: Dict[str, np.ndarray]):
+    """Map a reference SampleRNN ``state_dict`` onto ``net``'s param tree.
+
+    Covers: framed-linear tier inputs, the bottom tier's 1-channel conv
+    input, torch nn.LSTM stacks (gates unpacked i/f/g/o; the two torch
+    biases sum into flax's single hidden bias), linear up-samplers, and
+    the MLP output head.  Returns the new params (also set on ``net``).
+    """
+    import jax
+
+    if net.params is None:
+        net.init_params(batch_size=1)
+    params = jax.tree_util.tree_map(lambda x: x, net.params)  # copy refs
+    # make mutable nested dicts
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    def to_mutable(d):
+        if isinstance(d, dict):
+            return {k: to_mutable(v) for k, v in d.items()}
+        return d
+
+    params = to_mutable(jax.device_get(net.params))
+
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return np.asarray(sd[key])
+
+    n_tiers = len(net.config.frame_sizes)
+    for key in sd:
+        m = re.fullmatch(r"tiers\.(\d+)\.input_module\.heads\.(\d+)\.2\.(weight|bias)", key)
+        if m:
+            i, h, kind = int(m.group(1)), int(m.group(2)), m.group(3)
+            base = f"tier_inputs_{i}/heads_{h}/core/Dense_0"
+            v = take(key)
+            _set(params, f"{base}/{'kernel' if kind == 'weight' else 'bias'}",
+                 v.T if kind == "weight" else v)
+            continue
+        m = re.fullmatch(
+            r"tiers\.(\d+)\.input_module\.heads\.(\d+)\.2\.2\.cv\.(weight|bias)", key
+        )
+        if m:
+            i, h, kind = int(m.group(1)), int(m.group(2)), m.group(3)
+            base = f"tier_inputs_{i}/heads_{h}/core/Conv1dResampler_0/Dense_0"
+            v = take(key)
+            if kind == "weight":
+                # torch Conv1d (out, in, k) -> dense on the flattened
+                # (k, in) window: kernel[(k*in), out]
+                o, c, k = v.shape
+                _set(params, f"{base}/kernel",
+                     v.transpose(2, 1, 0).reshape(k * c, o))
+            else:
+                _set(params, f"{base}/bias", v)
+            continue
+        m = re.fullmatch(r"tiers\.(\d+)\.rnn\.(weight|bias)_(ih|hh)_l(\d+)", key)
+        if m:
+            i, kind, which, l = (
+                int(m.group(1)), m.group(2), m.group(3), int(m.group(4))
+            )
+            v = take(key)
+            chunks = np.split(v, 4, axis=0)
+            for g, chunk in zip(_GATES, chunks):
+                if kind == "weight":
+                    prefix = "i" if which == "ih" else "h"
+                    _set(params, f"rnn_t{i}/l{l}/{prefix}{g}/kernel", chunk.T)
+                else:
+                    # flax LSTMCell keeps one bias (on the hidden branch):
+                    # torch's bias_ih + bias_hh sum into it
+                    path = f"rnn_t{i}/l{l}/h{g}/bias"
+                    node = params
+                    for p in path.split("/")[:-1]:
+                        node = node[p]
+                    cur = np.asarray(node["bias"])
+                    node["bias"] = cur + chunk
+            continue
+        m = re.fullmatch(r"tiers\.(\d+)\.up_sampler\.fc\.(weight|bias)", key)
+        if m:
+            i, kind = int(m.group(1)), m.group(2)
+            v = take(key)
+            _set(params, f"up_t{i}/Dense_0/{'kernel' if kind == 'weight' else 'bias'}",
+                 v.T if kind == "weight" else v)
+            continue
+        m = re.fullmatch(
+            r"output_modules\.(\d+)\.estimator\.0\.fc\.(\d+)\.(weight|bias)", key
+        )
+        if m:
+            j, fc_idx, kind = int(m.group(1)), int(m.group(2)), m.group(3)
+            dense_idx = fc_idx // 2  # torch Sequential interleaves activations
+            base = f"outputs_{j}/estimator/core/Dense_{dense_idx}"
+            v = take(key)
+            _set(params, f"{base}/{'kernel' if kind == 'weight' else 'bias'}",
+                 v.T if kind == "weight" else v)
+            continue
+        if key.endswith("min_temp") or ".h0" in key or ".c0" in key:
+            used.add(key)  # static config / lazily-created initial states
+            continue
+
+    missing = set(sd) - used
+    if missing:
+        raise ValueError(
+            f"unmapped reference parameters: {sorted(missing)[:8]}"
+            f"{'...' if len(missing) > 8 else ''}"
+        )
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    net.params = params
+    return params

@@ -1,0 +1,101 @@
+"""Import a trained reference (torch) SampleRNN into mimikit_tpu and verify
+the imported model GENERATES identically, sample for sample.
+
+The reference package is built in a subprocess (torch cannot load next to
+jax in-process, and the reference's missing deps are stubbed — see
+``reference_loader.py``).  Training-mode logits cannot match for the
+bottom tier: the reference's FramedConv1dIO reshapes where it should
+transpose (``resamplers.py:42``), scrambling time/channels whenever more
+than one frame passes through — a quirk that disappears at single-step
+decode, which is exactly the path imported checkpoints are used on.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+_EXPORT = r"""
+import sys
+sys.path.insert(0, "__TESTDIR__")
+from reference_loader import install_stubs, import_reference
+install_stubs()
+rmmk = import_reference()
+import numpy as np
+import torch
+
+torch.manual_seed(0)
+io = rmmk.IOSpec.mulaw_io(rmmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+net = rmmk.SampleRNN.from_config(rmmk.SampleRNN.Config(
+    frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=io))
+net.eval()
+rng = np.random.RandomState(0)
+prompt = rng.randint(0, 32, (2, 16)).astype(np.int64)
+pt = torch.from_numpy(prompt)
+with torch.no_grad():
+    net.before_generate((pt,), 0)
+    outs = []
+    for t in range(16, 28):
+        o = net.generate_step((pt[:, t - 8 : t],), t=t)[0]
+        outs.append(o.numpy().reshape(2))
+        pt = torch.cat([pt, torch.from_numpy(outs[-1]).reshape(2, 1)], dim=1)
+sd = {("sd__" + k): v.detach().numpy() for k, v in net.state_dict().items()}
+np.savez("__OUT__", prompt=prompt, outs=np.stack(outs, axis=1), **sd)
+print("OK")
+"""
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not mounted")
+def test_imported_torch_checkpoint_generates_identically(tmp_path):
+    out = str(tmp_path / "ref.npz")
+    code = _EXPORT.replace(
+        "__TESTDIR__", os.path.dirname(os.path.abspath(__file__))
+    ).replace("__OUT__", out)
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert "OK" in r.stdout, r.stderr[-800:]
+
+    import mimikit_tpu as mmk
+
+    z = np.load(out)
+    sd = {k[4:]: z[k] for k in z.files if k.startswith("sd__")}
+    prompt = z["prompt"].astype(np.int32)
+    ref_outs = z["outs"]
+
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=io)
+    )
+    mmk.samplernn_params_from_state_dict(net, sd)
+    mine = np.asarray(
+        net.generate((prompt,), n_steps=12, temperature=None)[0][:, 16:]
+    )
+    assert np.array_equal(mine, ref_outs)
+
+
+def test_state_dict_shape_mismatch_raises():
+    import mimikit_tpu as mmk
+
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=io)
+    )
+    with pytest.raises(ValueError):
+        mmk.samplernn_params_from_state_dict(
+            net, {"tiers.0.input_module.heads.0.2.weight": np.zeros((3, 3))}
+        )
+
+
+def test_unknown_reference_parameter_raises():
+    import mimikit_tpu as mmk
+
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=io)
+    )
+    with pytest.raises(ValueError, match="unmapped"):
+        mmk.samplernn_params_from_state_dict(net, {"mystery.weight": np.zeros(3)})
