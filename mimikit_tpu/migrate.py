@@ -3,10 +3,10 @@
 The reference stores ``network/state_dict`` h5 banks of torch tensors
 (``/root/reference/mimikit/checkpoint.py:64-91``).  This module maps those
 parameter names/layouts onto the flax trees used here so a user can carry
-trained models across.  Currently covers SampleRNN (the flagship) for
-mu-law IO specs; the primitive conversions (dense/conv transposes, torch
-LSTM gate packing) are pinned against torch itself in
-``tests/torch_parity_impl.py``.
+trained models across.  Covers SampleRNN and WaveNet; imports are
+validated against the actual reference package: WaveNet logits match to
+float precision, SampleRNN generates sample-for-sample identically
+(``tests/test_migrate.py``).
 
 The state dict can be given as a plain ``{name: np.ndarray}`` dict — no
 torch import is required here (torch must never load next to jax in this
@@ -22,6 +22,7 @@ import numpy as np
 __all__ = [
     "load_reference_state_dict",
     "samplernn_params_from_state_dict",
+    "wavenet_params_from_state_dict",
 ]
 
 _GATES = ("i", "f", "g", "o")  # torch's packed LSTM gate order
@@ -165,6 +166,92 @@ def samplernn_params_from_state_dict(net, sd: Dict[str, np.ndarray]):
         )
     import jax.numpy as jnp
 
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    net.params = params
+    return params
+
+
+def wavenet_params_from_state_dict(net, sd: Dict[str, np.ndarray]):
+    """Map a reference WaveNet ``state_dict`` onto ``net``'s param tree.
+
+    Covers embedding and framed-linear inputs, dilated/1x1 gated convs,
+    skip/residual 1x1 convs and the MLP head.  Returns the new params
+    (also set on ``net``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if net.params is None:
+        net.init_params(batch_size=1)
+
+    def to_mutable(d):
+        if isinstance(d, dict):
+            return {k: to_mutable(v) for k, v in d.items()}
+        return d
+
+    params = to_mutable(jax.device_get(net.params))
+    used = set()
+
+    def conv(v):
+        return np.asarray(v).transpose(2, 1, 0)
+
+    for key in sd:
+        v = np.asarray(sd[key])
+        m = re.fullmatch(r"input_modules\.(\d+)\.(\d+)\.weight", key)
+        if m:
+            j = int(m.group(1))
+            base = params[f"input_modules_{j}"]["core"]
+            if "Embed_0" in base:
+                _set(params, f"input_modules_{j}/core/Embed_0/embedding", v)
+            else:
+                _set(params, f"input_modules_{j}/core/Dense_0/kernel", v.T)
+            used.add(key)
+            continue
+        m = re.fullmatch(r"input_modules\.(\d+)\.(\d+)\.bias", key)
+        if m:
+            j = int(m.group(1))
+            _set(params, f"input_modules_{j}/core/Dense_0/bias", v)
+            used.add(key)
+            continue
+        m = re.fullmatch(
+            r"layers\.(\d+)\.conv_(dil|1x1)\.(\d+)\.0\.(weight|bias)", key
+        )
+        if m:
+            i, kind, d, what = (
+                int(m.group(1)), m.group(2), int(m.group(3)), m.group(4)
+            )
+            base = f"layer{i}/conv_{kind}{d}"
+            _set(params, f"{base}/{'kernel' if what == 'weight' else 'bias'}",
+                 conv(v) if what == "weight" else v)
+            used.add(key)
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.conv_(skip|res)\.(weight|bias)", key)
+        if m:
+            i, kind, what = int(m.group(1)), m.group(2), m.group(3)
+            base = f"layer{i}/conv_{kind}"
+            _set(params, f"{base}/{'kernel' if what == 'weight' else 'bias'}",
+                 conv(v) if what == "weight" else v)
+            used.add(key)
+            continue
+        m = re.fullmatch(
+            r"output_modules\.(\d+)\.estimator\.0\.fc\.(\d+)\.(weight|bias)", key
+        )
+        if m:
+            j, fc_idx, what = int(m.group(1)), int(m.group(2)), m.group(3)
+            base = f"output_modules_{j}/estimator/core/Dense_{fc_idx // 2}"
+            _set(params, f"{base}/{'kernel' if what == 'weight' else 'bias'}",
+                 v.T if what == "weight" else v)
+            used.add(key)
+            continue
+        if key.endswith("min_temp"):
+            used.add(key)
+
+    missing = set(sd) - used
+    if missing:
+        raise ValueError(
+            f"unmapped reference parameters: {sorted(missing)[:8]}"
+            f"{'...' if len(missing) > 8 else ''}"
+        )
     params = jax.tree_util.tree_map(jnp.asarray, params)
     net.params = params
     return params

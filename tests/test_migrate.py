@@ -99,3 +99,62 @@ def test_unknown_reference_parameter_raises():
     )
     with pytest.raises(ValueError, match="unmapped"):
         mmk.samplernn_params_from_state_dict(net, {"mystery.weight": np.zeros(3)})
+
+
+_EXPORT_WN = r"""
+import sys
+sys.path.insert(0, "__TESTDIR__")
+from reference_loader import install_stubs, import_reference
+install_stubs()
+rmmk = import_reference()
+import numpy as np
+import torch
+
+torch.manual_seed(0)
+io = rmmk.IOSpec.mulaw_io(rmmk.IOSpec.MuLawIOConfig(
+    q_levels=32, mlp_dim=16, input_module_type="embedding"))
+net = rmmk.WaveNet.from_config(rmmk.WaveNet.Config(
+    io_spec=io, blocks=(2,), dims_dilated=(16,), skips_dim=16,
+    residuals_dim=16, pad_side=0))
+net.train()
+rng = np.random.RandomState(1)
+x = rng.randint(0, 32, (2, 24)).astype(np.int64)
+with torch.no_grad():
+    out = net((torch.from_numpy(x),))
+logits = (out[0] if isinstance(out, tuple) else out).numpy()
+sd = {("sd__" + k): v.detach().numpy() for k, v in net.state_dict().items()}
+np.savez("__OUT__", x=x, logits=logits, **sd)
+print("OK")
+"""
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not mounted")
+def test_imported_wavenet_matches_torch_logits(tmp_path):
+    out = str(tmp_path / "wn.npz")
+    code = _EXPORT_WN.replace(
+        "__TESTDIR__", os.path.dirname(os.path.abspath(__file__))
+    ).replace("__OUT__", out)
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert "OK" in r.stdout, r.stderr[-800:]
+
+    import mimikit_tpu as mmk
+
+    z = np.load(out)
+    sd = {k[4:]: z[k] for k in z.files if k.startswith("sd__")}
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io, blocks=(2,), dims_dilated=(16,), skips_dim=16,
+            residuals_dim=16, pad_side=0,
+        )
+    )
+    mmk.wavenet_params_from_state_dict(net, sd)
+    net.train()
+    mine = np.asarray(net.forward((z["x"].astype(np.int32),))[0])
+    assert np.abs(mine - z["logits"]).max() < 1e-4
