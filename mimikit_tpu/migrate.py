@@ -8,6 +8,14 @@ validated against the actual reference package: WaveNet logits match to
 float precision, SampleRNN generates sample-for-sample identically
 (``tests/test_migrate.py``).
 
+Seq2SeqLSTM checkpoints deliberately do NOT import: the reference's
+"sum forward and backward" is ``y.view(..., H, 2).sum(-1)`` over torch's
+``[fwd | bwd]`` CONCATENATED layout (``s2s_lstm_v2.py:100``) — it sums
+adjacent feature pairs within a direction, not the two directions.  This
+package implements the evident intent (fwd + bwd summed), so weights
+trained through the reference's pair-scramble would not transfer
+meaningfully.  Frame-domain models retrain in minutes.
+
 The state dict can be given as a plain ``{name: np.ndarray}`` dict — no
 torch import is required here (torch must never load next to jax in this
 process; convert tensors in a subprocess if needed).
