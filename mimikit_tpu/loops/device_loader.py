@@ -59,6 +59,7 @@ class DeviceBatcher:
         batch_sampler=None,
         seed: Optional[int] = None,
         limit_batches: Optional[int] = None,
+        sampling_jitter: int = 0,
     ):
         import jax
         import jax.numpy as jnp
@@ -68,6 +69,7 @@ class DeviceBatcher:
         self.shuffle = shuffle
         self.batch_sampler = batch_sampler
         self.limit_batches = limit_batches
+        self.sampling_jitter = sampling_jitter
         self._rng = np.random.RandomState(seed)
         self.leaves = _leaves(batch)
 
@@ -108,6 +110,19 @@ class DeviceBatcher:
         self._gather = jax.jit(gather)
 
     def _index_batches(self):
+        for idx in self._raw_index_batches():
+            if self.sampling_jitter:
+                # jitter window starts host-side, mirroring the host loader's
+                # serve(sampling_jitter=...) semantics (data/store.py)
+                j = self._rng.randint(
+                    -self.sampling_jitter, self.sampling_jitter + 1, len(idx)
+                )
+                idx = np.clip(
+                    np.asarray(idx, np.int64) + j, 0, max(0, self.n_items - 1)
+                )
+            yield idx
+
+    def _raw_index_batches(self):
         if self.batch_sampler is not None:
             yield from self.batch_sampler
             return
@@ -170,7 +185,17 @@ def make_train_loader(dataset, net, cfg, prefer_device: bool = True):
             batch_size=cfg.batch_size,
             shuffle=batch_sampler is None,
             batch_sampler=batch_sampler,
+            sampling_jitter=cfg.sampling_jitter,
         )
     if batch_sampler is not None:
-        return dataset.serve(batch, batch_sampler=batch_sampler)
-    return dataset.serve(batch, batch_size=cfg.batch_size, shuffle=True)
+        return dataset.serve(
+            batch,
+            batch_sampler=batch_sampler,
+            sampling_jitter=cfg.sampling_jitter,
+        )
+    return dataset.serve(
+        batch,
+        batch_size=cfg.batch_size,
+        shuffle=True,
+        sampling_jitter=cfg.sampling_jitter,
+    )

@@ -166,15 +166,14 @@ class GenerateLoopV2:
             prompt_idx = np.asarray(prompt_idx).reshape(-1)
             params = self._gather_params()
 
-            if hasattr(self.network, "generate"):
-                # fast path: whole decode as one on-device scan
+            if self._fast_path_accepts(params):
+                # fast path: whole decode as one on-device scan, with ALL
+                # gathered sampler params forwarded (a knob the fast path
+                # doesn't accept routes through the stepwise loop instead of
+                # being silently dropped)
                 final_outputs = tuple(
                     np.asarray(b)
-                    for b in self.network.generate(
-                        batch,
-                        self.n_steps,
-                        temperature=params.get("temperature", None),
-                    )
+                    for b in self.network.generate(batch, self.n_steps, **params)
                 )
             else:
                 final_outputs = self._stepwise(batch, prompt_idx, params)
@@ -186,6 +185,22 @@ class GenerateLoopV2:
             if self.config.callback is not None:
                 self.config.callback(outputs)
         self.teardown()
+
+    def _fast_path_accepts(self, params: dict) -> bool:
+        """True when the network has a whole-decode ``generate`` whose
+        signature covers every gathered sampler param."""
+        gen = getattr(self.network, "generate", None)
+        if gen is None:
+            return False
+        import inspect
+
+        sig = inspect.signature(gen)
+        if any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in sig.parameters.values()
+        ):
+            return True
+        return set(params) <= set(sig.parameters)
 
     def _stepwise(self, batch, prompt_idx, params):
         """Reference-semantics per-step loop (supports ``until`` multi-step

@@ -80,9 +80,6 @@ def samplernn_params_from_state_dict(net, sd: Dict[str, np.ndarray]):
 
     if net.params is None:
         net.init_params(batch_size=1)
-    params = jax.tree_util.tree_map(lambda x: x, net.params)  # copy refs
-    # make mutable nested dicts
-    params = jax.tree_util.tree_map(np.asarray, params)
 
     def to_mutable(d):
         if isinstance(d, dict):
@@ -92,6 +89,11 @@ def samplernn_params_from_state_dict(net, sd: Dict[str, np.ndarray]):
     params = to_mutable(jax.device_get(net.params))
 
     used = set()
+    # flax LSTMCell keeps ONE bias on the hidden branch where torch has two
+    # (bias_ih + bias_hh); stage both here and ASSIGN their sum afterwards —
+    # accumulating onto the existing flax bias would silently corrupt a
+    # re-import or an import into a non-fresh net
+    staged_bias: Dict[str, np.ndarray] = {}
 
     def take(key):
         used.add(key)
@@ -135,14 +137,11 @@ def samplernn_params_from_state_dict(net, sd: Dict[str, np.ndarray]):
                     prefix = "i" if which == "ih" else "h"
                     _set(params, f"rnn_t{i}/l{l}/{prefix}{g}/kernel", chunk.T)
                 else:
-                    # flax LSTMCell keeps one bias (on the hidden branch):
-                    # torch's bias_ih + bias_hh sum into it
                     path = f"rnn_t{i}/l{l}/h{g}/bias"
-                    node = params
-                    for p in path.split("/")[:-1]:
-                        node = node[p]
-                    cur = np.asarray(node["bias"])
-                    node["bias"] = cur + chunk
+                    if path in staged_bias:
+                        staged_bias[path] = staged_bias[path] + chunk
+                    else:
+                        staged_bias[path] = chunk
             continue
         m = re.fullmatch(r"tiers\.(\d+)\.up_sampler\.fc\.(weight|bias)", key)
         if m:
@@ -165,6 +164,9 @@ def samplernn_params_from_state_dict(net, sd: Dict[str, np.ndarray]):
         if key.endswith("min_temp") or ".h0" in key or ".c0" in key:
             used.add(key)  # static config / lazily-created initial states
             continue
+
+    for path, value in staged_bias.items():
+        _set(params, path, value)
 
     missing = set(sd) - used
     if missing:

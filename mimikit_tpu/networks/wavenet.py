@@ -597,7 +597,7 @@ class WaveNet(ARM):
             ts = jnp.arange(prior_t, prior_t + n_steps)
             # unrolling amortizes per-iteration scan overhead over the many
             # small per-step conv ops (same win as SampleRNN's decoder)
-            unroll = int(os.environ.get("MMK_DECODE_UNROLL", "8"))
+            unroll = int(os.environ.get("MMK_DECODE_UNROLL", "16"))
             (bufs, *_), _ = jax.lax.scan(
                 body, (bufs, buffers, rng), ts, unroll=unroll
             )

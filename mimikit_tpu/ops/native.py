@@ -23,8 +23,12 @@ def _build() -> None:
     )
 
 
-if not os.path.exists(_SO):
-    _build()
+# Always invoke make: the Makefile's kernels.cpp dependency makes this a
+# cheap no-op when the .so is current, rebuilds after source edits, and —
+# because the binary is compiled with -march=native and never committed —
+# guarantees the loaded library matches THIS host's ISA (a foreign-ISA .so
+# would load fine via CDLL and SIGILL at call time).
+_build()
 
 _lib = ctypes.CDLL(_SO)
 

@@ -117,6 +117,168 @@ def test_fsdp_param_shardings():
     assert sh["small"]["kernel"].spec == jax.sharding.PartitionSpec()
 
 
+def test_dryrun_multichip_bootstraps_from_one_device():
+    """Invoke dryrun_multichip(8) from a process that sees ONE device — the
+    exact situation the round driver creates under the pinned axon platform.
+    It must re-exec itself onto a virtual 8-device CPU mesh and pass."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    kept = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(
+        kept + ["--xla_force_host_platform_device_count=1"]
+    )
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import __graft_entry__ as g; "
+        "assert len(jax.devices()) == 1; g.dryrun_multichip(8)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
+
+
+def _equivalence_fixture():
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=io)
+    )
+    B, T = 8, 32
+    net.init_params(batch_size=B, batch_length=T)
+    rng = np.random.RandomState(7)
+    batches = [
+        (
+            rng.randint(0, 32, (B, net.rf + T)).astype(np.int32),
+            rng.randint(0, 32, (B, T)).astype(np.int32),
+        )
+        for _ in range(2)
+    ]
+    return net, batches
+
+
+def _run_two_steps(net, batches, mesh, fsdp):
+    """Two consecutive training steps with the TBPTT hidden carried from the
+    first into the second, params/opt threaded, sharded per mesh."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mimikit_tpu.parallel import batch_sharding, param_shardings, replicated
+
+    module = net.module
+    loss_fn = net.config.io_spec.loss_fn
+    tx = optax.adam(1e-3)
+
+    def step(params, opt_state, hidden, inputs, targets, rng_key):
+        def compute_loss(p):
+            outputs, new_hidden = module.apply(
+                {"params": p}, inputs, hidden, True,
+                rngs={"dropout": rng_key, "sample": rng_key},
+            )
+            return loss_fn(outputs, targets)["loss"], new_hidden
+
+        (loss, new_hidden), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, new_hidden, loss
+
+    p_sh = param_shardings(mesh, net.params, min_size=256, fsdp=fsdp)
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    step_jit = jax.jit(
+        step,
+        in_shardings=(p_sh, repl, repl, data, data, repl),
+        out_shardings=(p_sh, repl, repl, repl),
+    )
+
+    hidden = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(
+            lambda: module.apply(
+                {"params": net.params},
+                (jnp.zeros(batches[0][0].shape, jnp.int32),),
+                None,
+                False,
+                rngs={
+                    "dropout": jax.random.PRNGKey(0),
+                    "sample": jax.random.PRNGKey(0),
+                },
+            )
+        )[1],
+    )
+    params = jax.device_put(net.params, p_sh)
+    opt_state = jax.device_put(tx.init(net.params), repl)
+    losses = []
+    for i, (x, y) in enumerate(batches):
+        params, opt_state, hidden, loss = step_jit(
+            params,
+            opt_state,
+            hidden,
+            (jax.device_put(jnp.asarray(x), data),),
+            (jax.device_put(jnp.asarray(y), data),),
+            jax.random.PRNGKey(i),
+        )
+        losses.append(float(loss))
+    return losses, jax.device_get(params), jax.device_get(hidden)
+
+
+def _max_tree_dev(a, b):
+    import jax
+
+    return max(
+        float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
+        for x, y in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        )
+    )
+
+
+def test_sharded_training_step_matches_single_device():
+    """The actual multi-chip correctness claim: the SAME batch produces the
+    SAME loss, updated params, and carried TBPTT hidden on mesh shapes
+    (1,1), (8,1), (4,2), and (4,2)+fsdp, within f32 tolerance."""
+    import jax
+
+    from mimikit_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    net, batches = _equivalence_fixture()
+
+    ref_mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    ref_losses, ref_params, ref_hidden = _run_two_steps(
+        net, batches, ref_mesh, fsdp=False
+    )
+    for n_data, n_model, fsdp in [(8, 1, False), (4, 2, False), (4, 2, True)]:
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        losses, params, hidden = _run_two_steps(net, batches, mesh, fsdp)
+        for l_ref, l in zip(ref_losses, losses):
+            assert abs(l - l_ref) <= 1e-4 * max(1.0, abs(l_ref)), (
+                f"mesh ({n_data},{n_model},fsdp={fsdp}): loss {l} != {l_ref}"
+            )
+        assert _max_tree_dev(params, ref_params) < 1e-4, (
+            f"mesh ({n_data},{n_model},fsdp={fsdp}): params deviate"
+        )
+        assert _max_tree_dev(hidden, ref_hidden) < 1e-3, (
+            f"mesh ({n_data},{n_model},fsdp={fsdp}): TBPTT hidden deviates"
+        )
+
+
 def test_fsdp_training_runs(tmp_path):
     """TrainARMLoop with fully-sharded params over the data axis."""
     import jax
