@@ -159,6 +159,10 @@ class IOModule(Config, abc.ABC):
     class_size: Optional[int] = private_runtime_field(None)
     sampler: Optional[nn.Module] = private_runtime_field(None)
     weight_norm: bool = private_runtime_field(False)
+    # bug-compat: reproduce the reference Conv1dResampler's reshape
+    # permutation (resamplers.py:40-42) so trained reference checkpoints
+    # that learned THROUGH it import exactly (JukeBox bottom tier)
+    ref_scramble: bool = private_runtime_field(False)
     with_linearizer: bool = private_runtime_field(False)
     with_unfold: bool = private_runtime_field(False)
     with_n_chunks: Optional[int] = private_runtime_field(None)
@@ -283,6 +287,7 @@ class _EmbedConv(nn.Module):
     dim: int
     frame_size: int
     weight_norm: bool = False
+    ref_scramble: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -290,7 +295,7 @@ class _EmbedConv(nn.Module):
         h = nn.Embed(self.num, self.dim)(x)  # (B, nf, fs, dim)
         return Conv1dResampler(
             in_dim=self.dim, t_factor=1 / self.frame_size, d_factor=1,
-            weight_norm=self.weight_norm,
+            weight_norm=self.weight_norm, ref_scramble=self.ref_scramble,
         )(h)
 
 
@@ -303,7 +308,8 @@ class EmbeddingConv1d(IOModule):
         self.with_unfold = True
         return self.wrap(
             _EmbedConv(
-                self.class_size, self.out_dim, self.frame_size, self.weight_norm
+                self.class_size, self.out_dim, self.frame_size,
+                self.weight_norm, self.ref_scramble,
             )
         )
 
@@ -312,6 +318,7 @@ class _FramedConv(nn.Module):
     frame_size: int
     out_dim: int
     weight_norm: bool = False
+    ref_scramble: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -320,7 +327,7 @@ class _FramedConv(nn.Module):
         h = x.reshape(B, nf * fs, 1)
         return Conv1dResampler(
             in_dim=1, t_factor=1 / self.frame_size, d_factor=self.out_dim,
-            weight_norm=self.weight_norm,
+            weight_norm=self.weight_norm, ref_scramble=self.ref_scramble,
         )(h)
 
 
@@ -333,7 +340,10 @@ class FramedConv1dIO(IOModule):
         if self.hop_length is None:
             self.hop_length = 1
         return self.wrap(
-            _FramedConv(self.frame_size, self.out_dim, self.weight_norm)
+            _FramedConv(
+                self.frame_size, self.out_dim, self.weight_norm,
+                self.ref_scramble,
+            )
         )
 
 

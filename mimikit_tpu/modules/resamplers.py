@@ -7,6 +7,7 @@ per tier, exactly how TPU likes it.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["LinearResampler", "Conv1dResampler", "LSTMResampler"]
@@ -37,6 +38,7 @@ class Conv1dResampler(nn.Module):
     d_factor: float
     use_bias: bool = True
     weight_norm: bool = False
+    ref_scramble: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -50,6 +52,15 @@ class Conv1dResampler(nn.Module):
             # (B, T/k, k, D) -> valid conv over the k window == dense on k*D
             y = x.reshape(B, T // k, k * D)
             y = wn(nn.Dense(out_dim, use_bias=self.use_bias))(y)
+            if self.ref_scramble:
+                # bug-compat mode for imported reference checkpoints: the
+                # reference reshapes (B*n, out) memory as (B, out, n) and
+                # transposes (resamplers.py:40-42), permuting time/feature
+                # whenever n > 1 — reference JukeBox nets are TRAINED (and
+                # generate) through this fixed permutation
+                n = T // k
+                y = y.reshape(B, n * out_dim).reshape(B, out_dim, n)
+                y = jnp.swapaxes(y, 1, 2)
             return y
         k = int(self.t_factor)
         # transposed conv: each step expands to k steps

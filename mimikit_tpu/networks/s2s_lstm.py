@@ -50,10 +50,17 @@ class UpSampling(AutoStrEnum):
 
 class _BiLSTMSum(nn.Module):
     """Bidirectional LSTM layer whose two directions are summed
-    (reference ``s2s_lstm_v2.py:100``)."""
+    (reference ``s2s_lstm_v2.py:100``).
+
+    ``pair_sum=True`` reproduces the reference's actual computation for
+    checkpoint imports: torch's bidirectional output is the CONCATENATED
+    ``[fwd | bwd]`` (2H) and ``y.view(..., H, 2).sum(-1)`` sums ADJACENT
+    feature pairs within each direction — not the two directions.  Nets
+    trained through that fixed wiring only transfer if we keep it."""
 
     output_dim: int
     weight_norm: bool = False
+    pair_sum: bool = False
 
     def setup(self):
         self.fwd = RNNStack(
@@ -74,7 +81,11 @@ class _BiLSTMSum(nn.Module):
             carry_b = ((c[1], h[1]),)
         y_f, c_f = self.fwd(x, carry_f)
         y_b, c_b = self.bwd(jnp.flip(x, axis=1), carry_b)
-        y = y_f + jnp.flip(y_b, axis=1)
+        if self.pair_sum:
+            z = jnp.concatenate([y_f, jnp.flip(y_b, axis=1)], axis=-1)
+            y = z[..., 0::2] + z[..., 1::2]
+        else:
+            y = y_f + jnp.flip(y_b, axis=1)
         # hidden handed to the decoder: (h, c) shaped (2, B, H) — both dirs
         h = jnp.stack([c_f[0][1], c_b[0][1]], axis=0)
         c = jnp.stack([c_f[0][0], c_b[0][0]], axis=0)
@@ -89,10 +100,14 @@ class EncoderLSTM(nn.Module):
     hop: int = 4
     apply_residuals: bool = False
     weight_norm: bool = False
+    ref_compat: bool = False
 
     def setup(self):
         self.lstms = [
-            _BiLSTMSum(self.output_dim, self.weight_norm, name=f"lstm{i}")
+            _BiLSTMSum(
+                self.output_dim, self.weight_norm,
+                pair_sum=self.ref_compat, name=f"lstm{i}",
+            )
             for i in range(self.num_layers)
         ]
         if str(self.downsampling) == "linear_resample":
@@ -129,10 +144,14 @@ class DecoderLSTM(nn.Module):
     hop: int = 4
     apply_residuals: bool = False
     weight_norm: bool = False
+    ref_compat: bool = False
 
     def setup(self):
         self.lstms = [
-            _BiLSTMSum(self.model_dim, self.weight_norm, name=f"lstm{i}")
+            _BiLSTMSum(
+                self.model_dim, self.weight_norm,
+                pair_sum=self.ref_compat, name=f"lstm{i}",
+            )
             for i in range(self.num_layers)
         ]
         if str(self.upsampling) == "linear_resample":
@@ -155,10 +174,12 @@ class DecoderLSTM(nn.Module):
             )
             interp = jnp.transpose(interp, (0, 2, 1))
             x = jnp.broadcast_to(x, (x.shape[0], self.hop, x.shape[2])) + interp
-        # only the first LSTM is seeded with the encoder hidden
-        # (reference ``s2s_lstm_v2.py:166-171``)
+        # only the first LSTM is seeded with the encoder hidden — except in
+        # ref_compat, where (like the reference's actual code,
+        # ``s2s_lstm_v2.py:171``, contradicting its own comment) EVERY
+        # layer is seeded with the same encoder hidden
         for n, lstm in enumerate(self.lstms):
-            y, _ = lstm(x, hidden if n == 0 else None)
+            y, _ = lstm(x, hidden if (n == 0 or self.ref_compat) else None)
             if self.apply_residuals:
                 x = x + y
             else:
@@ -213,6 +234,10 @@ class Seq2SeqLSTMNetwork(ARMWithHidden):
         dec_apply_residuals: bool = False
         dec_weight_norm: bool = False
         hop: int = 8
+        # import-compat: reproduce the reference's adjacent-pair direction
+        # "sum" (s2s_lstm_v2.py:100) and its hidden-to-every-decoder-layer
+        # seeding (:171) so trained reference checkpoints transfer exactly
+        ref_compat: bool = False
 
     @classmethod
     def from_config(cls, cfg: "Seq2SeqLSTMNetwork.Config"):
@@ -240,6 +265,7 @@ class Seq2SeqLSTMNetwork(ARMWithHidden):
                 hop=cfg.hop,
                 apply_residuals=cfg.enc_apply_residuals,
                 weight_norm=cfg.enc_weight_norm,
+                ref_compat=cfg.ref_compat,
             ),
             decoder_cfg=dict(
                 upsampling=str(cfg.dec_upsampling),
@@ -248,6 +274,7 @@ class Seq2SeqLSTMNetwork(ARMWithHidden):
                 hop=cfg.hop,
                 apply_residuals=cfg.dec_apply_residuals,
                 weight_norm=cfg.dec_weight_norm,
+                ref_compat=cfg.ref_compat,
             ),
         )
         return cls(config=cfg, core=core)

@@ -490,19 +490,96 @@ class SampleRNN(ARMWithHidden):
         prompts = tuple(jnp.asarray(p) for p in prompts)
         self._ensure_params(prompts)
         B, prior_t = prompts[0].shape[0], prompts[0].shape[1]
+        if rng is None:
+            rng = self.next_rng()
+        if mesh is None and self._use_pallas_decode(
+            B, prior_t, n_steps, argmax=temperature is None
+        ):
+            return self._pallas_generate(prompts, n_steps, temperature, rng)
         bufs = tuple(
             jnp.concatenate(
                 [p, jnp.zeros((B, n_steps) + p.shape[2:], p.dtype)], axis=1
             )
             for p in prompts
         )
-        if rng is None:
-            rng = self.next_rng()
         dec = self.make_decoder(prior_t, n_steps, mesh=mesh)
         if temperature is None:
             # None temperature means argmax — handled statically per decoder
             return dec(self.params, bufs, rng, None)
         return dec(self.params, bufs, rng, jnp.asarray(temperature, jnp.float32))
+
+    # -- fused Pallas decode (ops/pallas_decode.py) --------------------------
+    def _use_pallas_decode(
+        self, B: int, prior_t: int, n_steps: int, argmax: bool = True
+    ) -> bool:
+        """Route to the fused kernel when the config is supported, the
+        backend is a TPU (or MMK_PALLAS_DECODE=1 forces it, e.g. with
+        interpret mode in tests), and everything fits the VMEM budget."""
+        flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
+        if flag == "0":
+            return False
+        from ..ops.pallas_decode import supports_pallas_decode
+
+        if not supports_pallas_decode(self) or prior_t < self.rf:
+            return False
+        if jax.default_backend() == "cpu" and (flag != "1" or not argmax):
+            # interpret mode has no TPU PRNG — only the argmax path runs
+            # off-TPU (and only when forced, for tests)
+            return False
+        H = self._config.hidden_dim
+        w_bytes = 4 * sum(
+            int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(self.params)
+        )
+        io_bytes = 4 * B * (n_steps + prior_t)
+        scr_bytes = 4 * B * (
+            self.rf + (2 * (len(self.frame_sizes) - 1)
+                       + sum(self.module.up_factors)) * H
+        )
+        return w_bytes + io_bytes + scr_bytes < 12 * 2**20
+
+    def _pallas_generate(self, prompts, n_steps, temperature, rng):
+        from ..ops.pallas_decode import (
+            make_samplernn_pallas_decoder,
+            samplernn_weight_pack,
+        )
+
+        prompt = prompts[0]
+        B, prior_t = prompt.shape
+        argmax = temperature is None
+        key = ("pallas", B, prior_t, n_steps, argmax)
+        if key not in self._decoders:
+            n_head_dense = 0
+            core = self.params["outputs_0"]["estimator"]["core"]
+            while f"Dense_{n_head_dense}" in core:
+                n_head_dense += 1
+            t_mod = self.config.io_spec.targets[0].module
+            q = self.config.io_spec.inputs[0].elem_type.size
+            dec = make_samplernn_pallas_decoder(
+                tuple(self.frame_sizes),
+                tuple(self.module.up_factors),
+                self._config.hidden_dim,
+                q,
+                n_head_dense,
+                float(t_mod.min_temperature),
+                B,
+                prior_t,
+                n_steps,
+                argmax,
+                interpret=jax.default_backend() == "cpu",
+            )
+            fs = tuple(self.frame_sizes)
+
+            @jax.jit
+            def run(params, prompt, rng, temp):
+                w = samplernn_weight_pack(params, fs)
+                seed = jax.random.randint(rng, (), 0, np.iinfo(np.int32).max)
+                return dec(w, prompt, seed, temp)
+
+            self._decoders[key] = run
+        temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        tokens = self._decoders[key](self.params, prompt, rng, temp)
+        return (jnp.concatenate([prompt, tokens.astype(prompt.dtype)], axis=1),)
 
     # -- step-wise parity API (reference semantics, used by tests/loops) ----
     def before_generate(self, prompts: Tuple, batch_index: int) -> None:

@@ -97,9 +97,11 @@ class DecoderBlock(nn.Module):
                 return nn.Dropout(self.dropout, deterministic=not train)(v)
             return v
 
-        ln1 = nn.LayerNorm(name="ln1")
-        ln2 = nn.LayerNorm(name="ln2")
-        ln3 = nn.LayerNorm(name="ln3")
+        # eps matches torch nn.LayerNorm (imported reference checkpoints
+        # reproduce logits to float precision)
+        ln1 = nn.LayerNorm(epsilon=1e-5, name="ln1")
+        ln2 = nn.LayerNorm(epsilon=1e-5, name="ln2")
+        ln3 = nn.LayerNorm(epsilon=1e-5, name="ln3")
 
         if self.norm_first:
             x = x + drop(attn(ln1(x), ln1(x), "self_attn"))
@@ -148,7 +150,7 @@ class DecoderStack(nn.Module):
                 name=f"block{i}",
             )(x, memory, mask, train=train)
         if self.with_layer_norm:
-            x = nn.LayerNorm(name="final_ln")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="final_ln")(x)
         return x
 
 
@@ -596,6 +598,10 @@ class JukeBox(_StatefulTransformerARM):
         weight_norm: bool = False
         input_dropout: float = 0.0
         rf: int = 64
+        # import-compat: reproduce the reference Conv1dResampler reshape
+        # permutation in the bottom tier (resamplers.py:40-42) — reference
+        # JukeBox checkpoints are trained through it, so imports need it on
+        ref_compat: bool = False
 
     @classmethod
     def from_config(cls, config: "JukeBox.Config"):
@@ -610,6 +616,12 @@ class JukeBox(_StatefulTransformerARM):
                 .module()
                 for in_spec in config.io_spec.inputs
             )
+            # ref_compat: the reference's layer_activation NEVER reaches its
+            # decoder layers — torch's TransformerDecoder deep-clones the
+            # layer and TransformerDecoderLayer.__setstate__ re-injects
+            # F.relu into __dict__, shadowing the Mish submodule — so
+            # reference checkpoints are trained with ReLU regardless
+            act = "ReLU" if config.ref_compat else str(config.layer_activation)
             tiers.append(
                 TransformerTier(
                     input_module=ZipReduceVariables(mode="sum", heads=mods),
@@ -619,7 +631,7 @@ class JukeBox(_StatefulTransformerARM):
                     num_layers=config.num_layers,
                     with_layer_norm=config.with_layer_norm,
                     dropout=config.dropout,
-                    activation=str(config.layer_activation),
+                    activation=act,
                     norm_first=config.norm_first,
                     positional_encoding=config.positional_encoding,
                     weight_norm=config.weight_norm,
@@ -639,6 +651,8 @@ class JukeBox(_StatefulTransformerARM):
             else:
                 params = dict()
                 module_type = FramedConv1dIO
+            if config.ref_compat:
+                params["ref_scramble"] = True
             mods.append(
                 module_type()
                 .set(

@@ -1,0 +1,306 @@
+"""Fused Pallas decode kernels: the whole autoregressive loop in ONE kernel.
+
+The ``lax.scan`` decoders (``networks/sample_rnn.py:413``,
+``networks/wavenet.py``) already run a full generation as one XLA dispatch,
+but every scan step still issues ~dozens of small HLO ops whose fixed
+per-op overhead dominates at small batch — the 3-tier SampleRNN step is
+~20 µs on v5e at B=1 (≈48k samples/s, just under the 50k/chip target).
+
+This module fuses the entire decode loop into a single Pallas kernel: all
+weights live in VMEM for the whole generation, the sample window, LSTM
+carries and tier caches are VMEM scratch, and the per-step chain (framed
+input matmul → gated LSTM → upsampler → MLP head → learned-temperature
+logits → Gumbel/argmax sampling) runs as one fused program with zero
+inter-op overhead.  This is the "Pallas fast-decode path" BASELINE.md
+names (reference semantics: ``sample_rnn_v2.py:236-260``).
+
+Scope: the flagship mu-law SampleRNN configuration (LSTM tiers, n_rnn=1,
+single discrete framed-linear input, MLP head with learned temperature) —
+``supports_pallas_decode`` gates exactly that; anything else falls back to
+the scan decoder.  The argmax path is pinned against the scan decoder
+token-for-token (``tests/test_pallas_decode.py``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "supports_pallas_decode",
+    "samplernn_weight_pack",
+    "make_samplernn_pallas_decoder",
+]
+
+
+def supports_pallas_decode(net) -> bool:
+    """True when ``net`` is a SampleRNN in the fused kernel's supported
+    configuration."""
+    cfg = net.config
+    try:
+        from ..features.functionals import Discrete
+        from ..modules.io import FramedLinearIO
+        from ..modules.heads import MLP  # noqa: F401
+    except Exception:  # pragma: no cover
+        return False
+    if str(cfg.rnn_class) != "lstm" or cfg.n_rnn != 1:
+        return False
+    if str(cfg.h0_init) != "zeros" or cfg.weight_norm:
+        return False
+    if str(cfg.inputs_mode) != "sum":
+        return False
+    if len(cfg.frame_sizes) < 2:
+        return False
+    io = cfg.io_spec
+    if len(io.inputs) != 1 or len(io.targets) != 1:
+        return False
+    if not isinstance(io.inputs[0].elem_type, Discrete):
+        return False
+    if not isinstance(io.inputs[0].module, FramedLinearIO):
+        return False
+    t_mod = io.targets[0].module
+    if type(t_mod).__name__ != "MLPIO" or t_mod.min_temperature is None:
+        return False
+    if getattr(t_mod, "n_hidden_layers", 0) not in (0, 1, 2):
+        return False
+    obj = io.targets[0].objective
+    if str(getattr(obj, "objective_type", "")) != "categorical_dist":
+        return False
+    return True
+
+
+def samplernn_weight_pack(params, frame_sizes: Tuple[int, ...]):
+    """Flatten the SampleRNN param tree into the kernel's argument list.
+
+    Layout per non-bottom tier i: W_in (fs_i, H), b_in (1, H),
+    Wi (H, 4H), Wh (H, 4H), b (1, 4H) [flax gate order i|f|g|o],
+    W_up (H, up_i*H), b_up (1, up_i*H); then bottom W_bot (fs_-1, H),
+    b_bot (1, H); then the head's dense chain W_k/b_k (last layer emits
+    Q+1 logits, the extra one being the learned temperature).
+    """
+    out = []
+    n = len(frame_sizes)
+    for i in range(n - 1):
+        d = params[f"tier_inputs_{i}"]["heads_0"]["core"]["Dense_0"]
+        out += [d["kernel"], d["bias"][None, :]]
+        cell = params[f"rnn_t{i}"]["l0"]
+        Wi = jnp.concatenate(
+            [cell[f"i{g}"]["kernel"] for g in "ifgo"], axis=1
+        )
+        Wh = jnp.concatenate(
+            [cell[f"h{g}"]["kernel"] for g in "ifgo"], axis=1
+        )
+        b = jnp.concatenate([cell[f"h{g}"]["bias"] for g in "ifgo"])
+        out += [Wi, Wh, b[None, :]]
+        up = params[f"up_t{i}"]["Dense_0"]
+        out += [up["kernel"], up["bias"][None, :]]
+    bot = params[f"tier_inputs_{n-1}"]["heads_0"]["core"][
+        "Conv1dResampler_0"
+    ]["Dense_0"]
+    out += [bot["kernel"], bot["bias"][None, :]]
+    core = params["outputs_0"]["estimator"]["core"]
+    k = 0
+    while f"Dense_{k}" in core:
+        d = core[f"Dense_{k}"]
+        out += [d["kernel"], d["bias"][None, :]]
+        k += 1
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def make_samplernn_pallas_decoder(
+    frame_sizes: Tuple[int, ...],
+    up_factors: Tuple[int, ...],
+    hidden_dim: int,
+    q_levels: int,
+    n_head_dense: int,
+    min_temperature: float,
+    B: int,
+    prior_t: int,
+    n_steps: int,
+    argmax: bool,
+    interpret: bool = False,
+):
+    """Build the fused decode kernel for one static configuration.
+
+    Returns ``fn(weights_list, prompt_i32, seed_i32, temp_f32) ->
+    (B, n_steps) int32`` (generated tokens only; caller concatenates the
+    prompt back).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    fs = tuple(frame_sizes)
+    up = tuple(up_factors)
+    H = hidden_dim
+    Q = q_levels
+    rf = fs[0]
+    n_tiers = len(fs)
+    n_weights = 7 * (n_tiers - 1) + 2 + 2 * n_head_dense
+
+    # prompt/out are TIME-MAJOR (T, B) and the tier caches SLOT-major
+    # (up, B, H): Mosaic only allows dynamic indexing on non-lane
+    # dimensions (lane offsets must be provably 128-aligned)
+    def kernel(prompt_ref, temp_ref, seed_ref, *refs):
+        w_refs = refs[:n_weights]
+        out_ref = refs[n_weights]
+        scratch = refs[n_weights + 1 :]
+        win_ref = scratch[0]
+        h_refs = scratch[1 : 1 + (n_tiers - 1)]
+        c_refs = scratch[1 + (n_tiers - 1) : 1 + 2 * (n_tiers - 1)]
+        tout_refs = scratch[1 + 2 * (n_tiers - 1) :]
+
+        def tier_w(i):
+            base = 7 * i
+            return [w_refs[base + k] for k in range(7)]
+
+        bot_W, bot_b = w_refs[7 * (n_tiers - 1)], w_refs[7 * (n_tiers - 1) + 1]
+        head = w_refs[7 * (n_tiers - 1) + 2 :]
+
+        if not argmax:
+            pltpu.prng_seed(seed_ref[0])
+
+        # init state: the window holds the first rf prompt samples
+        win_ref[:] = prompt_ref[0:rf, :].T
+        for r in h_refs + c_refs + tout_refs:
+            r[:] = jnp.zeros_like(r)
+
+        def mish(v):
+            return v * jnp.tanh(jax.nn.softplus(v))
+
+        def body(t, _):
+            xf = (win_ref[:].astype(jnp.float32) / Q - 0.5) * 2.0
+
+            for i in range(n_tiers - 1):
+                f = fs[i]
+                W_in, b_in, Wi, Wh, b, W_up, b_up = tier_w(i)
+
+                @pl.when((t % f) == 0)
+                def _(i=i, f=f, W_in=W_in, b_in=b_in, Wi=Wi, Wh=Wh, b=b,
+                      W_up=W_up, b_up=b_up):
+                    x = (
+                        jnp.dot(
+                            xf[:, rf - f :], W_in[:],
+                            preferred_element_type=jnp.float32,
+                        )
+                        + b_in[:]
+                    )
+                    if i > 0:
+                        idx = (t // f) % up[i - 1]
+                        x = x + tout_refs[i - 1][pl.ds(idx, 1)][0]
+                    gates = (
+                        jnp.dot(x, Wi[:], preferred_element_type=jnp.float32)
+                        + jnp.dot(
+                            h_refs[i][:], Wh[:],
+                            preferred_element_type=jnp.float32,
+                        )
+                        + b[:]
+                    )
+                    gi = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+                    gf = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+                    gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+                    go = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
+                    c2 = gf * c_refs[i][:] + gi * gg
+                    h2 = go * jnp.tanh(c2)
+                    c_refs[i][:] = c2
+                    h_refs[i][:] = h2
+                    y_up = (
+                        jnp.dot(h2, W_up[:], preferred_element_type=jnp.float32)
+                        + b_up[:]
+                    )  # (B, up_i * H)
+                    tout_refs[i][:] = jnp.swapaxes(
+                        y_up.reshape(B, up[i], H), 0, 1
+                    )
+
+            # bottom tier: every step
+            x = (
+                jnp.dot(
+                    xf[:, rf - fs[-1] :], bot_W[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + bot_b[:]
+            )
+            idx = t % fs[-2]
+            x = x + tout_refs[-1][pl.ds(idx, 1)][0]
+
+            h = x
+            for k in range(n_head_dense - 1):
+                h = mish(
+                    jnp.dot(
+                        h, head[2 * k][:], preferred_element_type=jnp.float32
+                    )
+                    + head[2 * k + 1][:]
+                )
+            logits = (
+                jnp.dot(h, head[-2][:], preferred_element_type=jnp.float32)
+                + head[-1][:]
+            )  # (B, Q + 1)
+            l_temp = jax.nn.sigmoid(logits[:, Q : Q + 1])
+            logits = logits[:, :Q] / jnp.maximum(l_temp, min_temperature)
+
+            if argmax:
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                logits = logits / temp_ref[0, 0]
+                bits = pltpu.prng_random_bits((B, Q))
+                # keep 24 bits; route through int32 (mosaic has no
+                # uint32 -> float32 cast)
+                b24 = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+                )
+                u = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+                gumbel = -jnp.log(-jnp.log(u))
+                tok = jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
+
+            # teacher-force inside the prompt
+            t_clip = jnp.minimum(t, prior_t - 1)
+            tp = prompt_ref[pl.ds(t_clip, 1), :][0]
+            tok = jnp.where(t < prior_t, tp, tok)
+
+            @pl.when(t >= prior_t)
+            def _():
+                out_ref[pl.ds(t - prior_t, 1), :] = tok[None, :]
+
+            win_ref[:] = jnp.concatenate(
+                [win_ref[:, 1:], tok[:, None]], axis=1
+            )
+            return 0
+
+        jax.lax.fori_loop(rf, prior_t + n_steps, body, 0, unroll=False)
+
+    weight_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_weights)
+    ]
+    scratch_shapes = (
+        [pltpu.VMEM((B, rf), jnp.int32)]
+        + [pltpu.VMEM((B, H), jnp.float32) for _ in range(2 * (n_tiers - 1))]
+        + [pltpu.VMEM((u, B, H), jnp.float32) for u in up]
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_steps, B), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prompt
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # temperature
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            *weight_specs,
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )
+
+    def fn(weights, prompt, seed, temperature):
+        out_t = call(
+            prompt.astype(jnp.int32).T,
+            jnp.asarray(temperature, jnp.float32).reshape(1, 1),
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            *weights,
+        )
+        return out_t.T  # back to (B, n_steps)
+
+    return fn

@@ -158,3 +158,186 @@ def test_imported_wavenet_matches_torch_logits(tmp_path):
     net.train()
     mine = np.asarray(net.forward((z["x"].astype(np.int32),))[0])
     assert np.abs(mine - z["logits"]).max() < 1e-4
+
+
+_EXPORT_TR = r"""
+import sys
+sys.path.insert(0, "__TESTDIR__")
+from reference_loader import install_stubs, import_reference
+install_stubs()
+rmmk = import_reference()
+import numpy as np
+import torch
+
+torch.manual_seed(0)
+io = rmmk.IOSpec.mulaw_io(rmmk.IOSpec.MuLawIOConfig(
+    q_levels=32, mlp_dim=16, input_module_type="embedding"))
+net = rmmk.SimpleTransformer.from_config(rmmk.SimpleTransformer.Config(
+    io_spec=io, model_dim=16, n_heads=2, feedforward_dim=32, num_layers=2,
+    with_layer_norm=True, dropout=0.0, input_dropout=0.0, rf=8))
+net.train()
+rng = np.random.RandomState(3)
+x = rng.randint(0, 32, (2, 12)).astype(np.int64)
+with torch.no_grad():
+    out = net((torch.from_numpy(x),))
+logits = (out[0] if isinstance(out, tuple) else out).numpy()
+sd = {("sd__" + k): v.detach().numpy() for k, v in net.state_dict().items()}
+np.savez("__OUT__", x=x, logits=logits, **sd)
+print("OK")
+"""
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not mounted")
+def test_imported_simple_transformer_matches_torch_logits(tmp_path):
+    out = str(tmp_path / "tr.npz")
+    code = _EXPORT_TR.replace(
+        "__TESTDIR__", os.path.dirname(os.path.abspath(__file__))
+    ).replace("__OUT__", out)
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert "OK" in r.stdout, r.stderr[-800:]
+
+    import mimikit_tpu as mmk
+
+    z = np.load(out)
+    sd = {k[4:]: z[k] for k in z.files if k.startswith("sd__")}
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=io, model_dim=16, n_heads=2, feedforward_dim=32,
+            num_layers=2, with_layer_norm=True, dropout=0.0,
+            input_dropout=0.0, rf=8,
+        )
+    )
+    mmk.transformer_params_from_state_dict(net, sd)
+    net.train()
+    mine = np.asarray(net.forward((z["x"].astype(np.int32),))[0])
+    assert np.abs(mine - z["logits"]).max() < 1e-4
+
+
+_EXPORT_JB = r"""
+import sys
+sys.path.insert(0, "__TESTDIR__")
+from reference_loader import install_stubs, import_reference
+install_stubs()
+rmmk = import_reference()
+import numpy as np
+import torch
+
+torch.manual_seed(0)
+io = rmmk.IOSpec.mulaw_io(rmmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+net = rmmk.JukeBox.from_config(rmmk.JukeBox.Config(
+    io_spec=io, frame_sizes=(8, 4, 2), model_dim=16, n_heads=2,
+    feedforward_dim=32, num_layers=1, dropout=0.0, weight_norm=True, rf=16))
+net.train()
+rng = np.random.RandomState(4)
+x = rng.randint(0, 32, (2, 24)).astype(np.int64)
+with torch.no_grad():
+    out = net((torch.from_numpy(x),))
+logits = (out[0] if isinstance(out, tuple) else out).numpy()
+sd = {("sd__" + k): v.detach().numpy() for k, v in net.state_dict().items()}
+np.savez("__OUT__", x=x, logits=logits, **sd)
+print("OK")
+"""
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not mounted")
+def test_imported_jukebox_matches_torch_logits(tmp_path):
+    """JukeBox with weight_norm=True: exercises the _g/_v fold + flax
+    WeightNorm scale recompute alongside the tier/up-sampler mapping."""
+    out = str(tmp_path / "jb.npz")
+    code = _EXPORT_JB.replace(
+        "__TESTDIR__", os.path.dirname(os.path.abspath(__file__))
+    ).replace("__OUT__", out)
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert "OK" in r.stdout, r.stderr[-800:]
+
+    import mimikit_tpu as mmk
+
+    z = np.load(out)
+    sd = {k[4:]: z[k] for k in z.files if k.startswith("sd__")}
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    net = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=io, frame_sizes=(8, 4, 2), model_dim=16, n_heads=2,
+            feedforward_dim=32, num_layers=1, dropout=0.0, weight_norm=True,
+            rf=16, ref_compat=True,
+        )
+    )
+    mmk.transformer_params_from_state_dict(net, sd)
+    net.train()
+    mine = np.asarray(net.forward((z["x"].astype(np.int32),))[0])
+    assert np.abs(mine - z["logits"]).max() < 1e-4
+
+
+_EXPORT_S2S = r"""
+import sys
+sys.path.insert(0, "__TESTDIR__")
+from reference_loader import install_stubs, import_reference
+install_stubs()
+rmmk = import_reference()
+import numpy as np
+import torch
+
+torch.manual_seed(0)
+io = rmmk.IOSpec.magspec_io(rmmk.IOSpec.MagSpecIOConfig(n_fft=64, hop_length=16))
+net = rmmk.Seq2SeqLSTMNetwork.from_config(rmmk.Seq2SeqLSTMNetwork.Config(
+    io_spec=io, model_dim=16, enc_n_lstm=2, dec_n_lstm=2, hop=4))
+net.train()
+rng = np.random.RandomState(5)
+x = rng.rand(2, 4, 33).astype(np.float32)
+with torch.no_grad():
+    out = net((torch.from_numpy(x),))
+out = (out[0] if isinstance(out, tuple) else out).numpy()
+sd = {("sd__" + k): v.detach().numpy() for k, v in net.state_dict().items()}
+np.savez("__OUT__", x=x, out=out, **sd)
+print("OK")
+"""
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not mounted")
+def test_imported_seq2seq_matches_torch_outputs(tmp_path):
+    """Seq2Seq import under ref_compat: reproduces the reference's
+    adjacent-pair direction sum and hidden-to-all-decoder-layers seeding."""
+    out = str(tmp_path / "s2s.npz")
+    code = _EXPORT_S2S.replace(
+        "__TESTDIR__", os.path.dirname(os.path.abspath(__file__))
+    ).replace("__OUT__", out)
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert "OK" in r.stdout, r.stderr[-800:]
+
+    import mimikit_tpu as mmk
+
+    z = np.load(out)
+    sd = {k[4:]: z[k] for k in z.files if k.startswith("sd__")}
+    io = mmk.IOSpec.magspec_io(mmk.IOSpec.MagSpecIOConfig(n_fft=64, hop_length=16))
+    net = mmk.Seq2SeqLSTMNetwork.from_config(
+        mmk.Seq2SeqLSTMNetwork.Config(
+            io_spec=io, model_dim=16, enc_n_lstm=2, dec_n_lstm=2, hop=4,
+            ref_compat=True,
+        )
+    )
+    mmk.seq2seq_params_from_state_dict(net, sd)
+    net.train()
+    mine = np.asarray(net.forward((z["x"],))[0])
+    assert np.abs(mine - z["out"]).max() < 1e-4
+
+
+def test_seq2seq_import_requires_ref_compat():
+    import mimikit_tpu as mmk
+
+    io = mmk.IOSpec.magspec_io(mmk.IOSpec.MagSpecIOConfig(n_fft=64, hop_length=16))
+    net = mmk.Seq2SeqLSTMNetwork.from_config(
+        mmk.Seq2SeqLSTMNetwork.Config(io_spec=io, model_dim=16, hop=4)
+    )
+    with pytest.raises(ValueError, match="ref_compat"):
+        mmk.seq2seq_params_from_state_dict(net, {})

@@ -1,0 +1,91 @@
+"""Fused Pallas SampleRNN decode vs the lax.scan decoder.
+
+The kernel runs in interpreter mode on the CPU backend, where its argmax
+path must produce token-for-token identical output to the scan decoder
+(same weights, same prompt).  On a real TPU the two lowerings differ only
+by MXU rounding (near-tie argmax flips in adjacent mu-law bins); the
+sampled path additionally uses the on-chip PRNG and is TPU-only.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import mimikit_tpu as mmk
+
+
+def _net(frame_sizes=(8, 4, 2), hidden=16, q=32):
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=q, mlp_dim=hidden))
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=frame_sizes, hidden_dim=hidden, io_spec=io)
+    )
+    net.seed(0)
+    return net
+
+
+@pytest.fixture
+def force_pallas(monkeypatch):
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "1")
+
+
+@pytest.mark.parametrize("frame_sizes", [(8, 4, 2), (4, 4), (16, 4, 4)])
+def test_pallas_argmax_matches_scan_exactly(force_pallas, monkeypatch, frame_sizes):
+    net = _net(frame_sizes=frame_sizes)
+    q = 32
+    prompts = (
+        np.random.randint(0, q, (2, 2 * frame_sizes[0])).astype(np.int32),
+    )
+    net._ensure_params(prompts)
+    assert net._use_pallas_decode(
+        2, prompts[0].shape[1], 60, argmax=True
+    ), "pallas gate refused a supported config"
+    a = np.asarray(net.generate(prompts, n_steps=60, temperature=None)[0])
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    b = np.asarray(net.generate(prompts, n_steps=60, temperature=None)[0])
+    assert np.array_equal(a, b)
+
+
+def test_pallas_gate_rejects_unsupported_configs(force_pallas):
+    # embedding input modules are not in the fused kernel's scope
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=io)
+    )
+    from mimikit_tpu.ops.pallas_decode import supports_pallas_decode
+
+    assert not supports_pallas_decode(net)
+
+    # GRU tiers fall back too
+    io2 = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    net2 = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(
+            frame_sizes=(8, 4, 2), hidden_dim=16, rnn_class="gru", io_spec=io2
+        )
+    )
+    assert not supports_pallas_decode(net2)
+
+
+def test_pallas_gate_respects_vmem_budget(force_pallas):
+    net = _net()
+    prompts = (np.random.randint(0, 32, (1, 16)).astype(np.int32),)
+    net._ensure_params(prompts)
+    # a generation too large for VMEM must fall back
+    assert not net._use_pallas_decode(512, 16, 1 << 20, argmax=True)
+
+
+def test_pallas_sampled_path_is_tpu_only(force_pallas):
+    """On the CPU backend the sampled (PRNG) path must route to the scan
+    decoder even when the flag forces pallas."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("CPU-backend-specific gate")
+    net = _net()
+    assert not net._use_pallas_decode(2, 16, 60, argmax=False)
+    prompts = (np.random.randint(0, 32, (2, 16)).astype(np.int32),)
+    out = net.generate(prompts, n_steps=20, temperature=0.9)
+    assert np.asarray(out[0]).shape == (2, 36)
