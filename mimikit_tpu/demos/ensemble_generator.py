@@ -1,14 +1,13 @@
 """Ensemble generation recipe (reference ``demos/ensemble_generator.py``).
 
-The reference drives the event stream with the ``pbind`` pattern library;
-here a plain generator stands in (same event dicts) so the demo has no extra
-dependency — pass your own ``stream`` for pattern-based scheduling.
+The reference drives the event stream with the external ``pbind`` pattern
+library; here the in-repo equivalent (``models/patterns.py``: Pseq/Pbind/
+Pwhite/Prand/inf) provides the same random/cycled event scheduling — pass
+your own ``stream`` to override.
 """
 
 
 def demo(root_dir="./", total_seconds=10.0, output_sr=22050, stream=None):
-    import numpy as np
-
     import mimikit_tpu as mmk
 
     checkpoints = {}
@@ -40,23 +39,24 @@ def demo(root_dir="./", total_seconds=10.0, output_sr=22050, stream=None):
     )[0]
 
     if stream is None:
-        rng = np.random.RandomState(42)
-
-        def _stream():
-            keys = sorted(checkpoints)
-            while True:
-                yield dict(
-                    generator=checkpoints[keys[0]],
-                    seconds=float(rng.uniform(3.0, 5.0)),
+        # the reference demo's pattern, spelled with the in-repo pbind
+        # equivalent (demos/ensemble_generator.py:40-56 in the reference)
+        keys = sorted(checkpoints)
+        binds = [
+            mmk.Pbind(
+                "generator", checkpoints[keys[0]],
+                "seconds", mmk.Pwhite(lo=3.0, hi=5.0, repeats=1, seed=42),
+            )
+        ]
+        if len(keys) > 1:
+            binds.append(
+                mmk.Pbind(
+                    "generator", checkpoints[keys[1]],
+                    "temperature", mmk.Pwhite(lo=0.25, hi=1.5, seed=43),
+                    "seconds", mmk.Pwhite(lo=0.1, hi=1.0, repeats=1, seed=44),
                 )
-                if len(keys) > 1:
-                    yield dict(
-                        generator=checkpoints[keys[1]],
-                        seconds=float(rng.uniform(0.1, 1.0)),
-                        temperature=float(rng.uniform(0.25, 1.5)),
-                    )
-
-        stream = _stream()
+            )
+        stream = mmk.Pseq(binds, mmk.inf).asStream()
 
     ensemble = mmk.EnsembleGenerator(
         prompts, total_seconds, output_sr, stream, print_events=False

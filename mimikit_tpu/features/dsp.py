@@ -471,3 +471,22 @@ def time_stretch_jax(y, rate: float, n_fft: int = 2048, hop: int = 512):
     if out.shape[-1] < n_out:
         out = jnp.pad(out, (0, n_out - out.shape[-1]))
     return out[:n_out].astype(jnp.float32)
+
+
+def resample_poly_filter(orig_sr: int, target_sr: int):
+    """(up, down, h): the exact FIR scipy.signal.resample_poly builds for
+    this rate pair (kaiser beta=5.0, cutoff 1/max_rate, scaled by up) —
+    shared by the host path and the device conv so both produce the same
+    samples."""
+    from math import gcd
+
+    from scipy.signal import firwin
+
+    g = gcd(int(orig_sr), int(target_sr))
+    up, down = target_sr // g, orig_sr // g
+    if up == down:
+        return up, down, np.ones(1, np.float32)
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    h = firwin(2 * half_len + 1, 1.0 / max_rate, window=("kaiser", 5.0))
+    return up, down, (h * up).astype(np.float32)

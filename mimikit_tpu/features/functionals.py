@@ -358,13 +358,48 @@ class Resample(Functional):
         return _add_metadata(y, sr=self.target_sr)
 
     def jax_func(self, inputs):
+        """Kaiser-windowed polyphase resampling — the SAME filter and
+        output alignment as the host path (``scipy.signal.resample_poly``),
+        so on-device resampling (ensemble cross-rate chaining) is
+        numerically interchangeable with extraction-time resampling.
+
+        The FIR is built host-side once per rate pair (static under jit)
+        and applied as ONE strided transposed conv: ``lhs_dilation=up``
+        zero-stuffs, ``window_strides=down`` decimates — an MXU-friendly
+        dense conv instead of scipy's per-phase loops.
+        """
         import jax
         import jax.numpy as jnp
 
-        n_out = int(round(inputs.shape[-1] * self.target_sr / self.orig_sr))
-        return jax.image.resize(
-            inputs, (*inputs.shape[:-1], n_out), method="linear"
-        ).astype(jnp.float32)
+        up, down, h = dsp.resample_poly_filter(self.orig_sr, self.target_sr)
+        if up == down:
+            return jnp.asarray(inputs, jnp.float32)
+        x = jnp.asarray(inputs, jnp.float32)
+        shape = x.shape
+        n_in = shape[-1]
+        n_out = (n_in * up) // down + bool((n_in * up) % down)
+        half_len = (len(h) - 1) // 2
+        n_pre_pad = down - half_len % down
+        n_pre_remove = (half_len + n_pre_pad) // down
+        h_p = np.concatenate([np.zeros(n_pre_pad, np.float32), h])
+        L = len(h_p)
+        # correlation with the reversed padded filter == true convolution;
+        # pad_l = L-1 aligns out[i] with full-conv sample i*down
+        rhs = jnp.asarray(h_p[::-1], jnp.float32)[None, None, :]
+        lhs = x.reshape(-1, 1, n_in)
+        n_up = (n_in - 1) * up + 1
+        # right padding sized so every kept output exists
+        need = (n_pre_remove + n_out - 1) * down + L - n_up - (L - 1) + 1
+        pad_r = max(L - 1, need)
+        y = jax.lax.conv_general_dilated(
+            lhs,
+            rhs,
+            window_strides=(down,),
+            padding=((L - 1, pad_r),),
+            lhs_dilation=(up,),
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )[:, 0, n_pre_remove : n_pre_remove + n_out]
+        return y.reshape(*shape[:-1], n_out)
 
     @property
     def inv(self):

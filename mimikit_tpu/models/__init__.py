@@ -1,2 +1,3 @@
 from .ensemble_generator import *
 from .nnn import *
+from .patterns import *

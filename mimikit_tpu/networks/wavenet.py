@@ -607,10 +607,95 @@ class WaveNet(ARM):
         self._decoders[key] = fn
         return fn
 
+    # -- fused Pallas decode (ops/pallas_decode.py) --------------------------
+    def _layer_meta(self):
+        cfgs = self.get_layers_cfg(self.config)
+        if self.config.reverse_layer_order:
+            cfgs = list(reversed(cfgs))
+        dilations = tuple(c["dilation"] for c in cfgs)
+        has_res = tuple(
+            c["residuals_dim"] is not None
+            and (c["input_dim"] is None or c["input_dim"] == c["residuals_dim"])
+            for c in cfgs
+        )
+        return dilations, has_res
+
+    def _use_pallas_decode(
+        self, B: int, prior_t: int, n_steps: int, argmax: bool = True
+    ) -> bool:
+        flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
+        if flag == "0":
+            return False
+        from ..ops.pallas_decode import supports_pallas_wavenet
+
+        if not supports_pallas_wavenet(self) or prior_t < self.rf + 1:
+            return False
+        if jax.default_backend() == "cpu" and (flag != "1" or not argmax):
+            return False
+        dilations, _ = self._layer_meta()
+        D = self.config.dims_dilated[0]
+        w_bytes = 4 * sum(
+            int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(self.params)
+        )
+        ring_bytes = 4 * B * D * sum(dilations)
+        io_bytes = 4 * B * (n_steps + prior_t)
+        return w_bytes + ring_bytes + io_bytes < 12 * 2**20
+
+    def _pallas_generate(self, prompts, n_steps, temperature, rng):
+        from ..ops.pallas_decode import (
+            make_wavenet_pallas_decoder,
+            wavenet_weight_pack,
+        )
+
+        prompt = prompts[0]
+        B, prior_t = prompt.shape
+        argmax = temperature is None
+        key = ("pallas", B, prior_t, n_steps, argmax)
+        if key not in self._decoders:
+            dilations, has_res = self._layer_meta()
+            n_head_dense = 0
+            core = self.params["output_modules_0"]["estimator"]["core"]
+            while f"Dense_{n_head_dense}" in core:
+                n_head_dense += 1
+            t_mod = self.config.io_spec.targets[0].module
+            q = self.config.io_spec.inputs[0].elem_type.size
+            dec = make_wavenet_pallas_decoder(
+                dilations,
+                has_res,
+                self.config.dims_dilated[0],
+                q,
+                n_head_dense,
+                float(t_mod.min_temperature),
+                B,
+                prior_t,
+                n_steps,
+                argmax,
+                interpret=jax.default_backend() == "cpu",
+            )
+            n_layers, hr = len(dilations), has_res
+
+            @jax.jit
+            def run(params, prompt, rng, temp):
+                w = wavenet_weight_pack(params, n_layers, hr)
+                seed = jax.random.randint(rng, (), 0, np.iinfo(np.int32).max)
+                return dec(w, prompt, seed, temp)
+
+            self._decoders[key] = run
+        temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        tokens = self._decoders[key](self.params, prompt, rng, temp)
+        return (jnp.concatenate([prompt, tokens.astype(prompt.dtype)], axis=1),)
+
     def generate(self, prompts: Tuple, n_steps: int, temperature=None, rng=None):
         prompts = tuple(jnp.asarray(p) for p in prompts)
         self._ensure_params(prompts)
         B, prior_t = prompts[0].shape[0], prompts[0].shape[1]
+        if rng is None:
+            rng = self.next_rng()
+        if self._use_pallas_decode(
+            B, prior_t, n_steps, argmax=temperature is None
+        ):
+            return self._pallas_generate(prompts, n_steps, temperature, rng)
         # warm-up reads an rf-window ending at prior_t - 1: left-pad short
         # prompts with zeros (static amount, sliced off afterwards)
         pad_left = max(0, self.rf + 1 - prior_t)
@@ -625,8 +710,6 @@ class WaveNet(ARM):
             )
             for p in prompts
         )
-        if rng is None:
-            rng = self.next_rng()
         dec = self.make_decoder(prior_t + pad_left, n_steps)
         t_arg = (
             None

@@ -33,6 +33,9 @@ __all__ = [
     "supports_pallas_decode",
     "samplernn_weight_pack",
     "make_samplernn_pallas_decoder",
+    "supports_pallas_wavenet",
+    "wavenet_weight_pack",
+    "make_wavenet_pallas_decoder",
 ]
 
 
@@ -302,5 +305,231 @@ def make_samplernn_pallas_decoder(
             *weights,
         )
         return out_t.T  # back to (B, n_steps)
+
+    return fn
+
+
+# -- WaveNet ------------------------------------------------------------------
+
+def supports_pallas_wavenet(net) -> bool:
+    """True for the standard gated WaveNet shape: kernel-2 dilated layers,
+    Tanh×Sigmoid gates, skip accumulation, plain residuals, one embedding
+    input and one learned-temperature MLP head (the reference's mu-law
+    flagship, ``wavenet_v2.py:185-293``)."""
+    cfg = net.config
+    try:
+        from ..features.functionals import Discrete
+        from ..modules.io import EmbeddingIO
+    except Exception:  # pragma: no cover
+        return False
+    if cfg.dims_1x1 or cfg.groups != 1 or cfg.stride != 1:
+        return False
+    if cfg.with_affine_residuals or cfg.layerwise_inputs:
+        return False
+    if cfg.reverse_layer_order or cfg.tie_io_weights or not cfg.bias:
+        return False
+    if str(cfg.act_f) != "Tanh" or str(cfg.act_g) != "Sigmoid":
+        return False
+    if cfg.skips_dim is None or len(cfg.dims_dilated) != 1:
+        return False
+    if cfg.residuals_dim is not None and cfg.residuals_dim != cfg.dims_dilated[0]:
+        return False
+    for lc in type(net).get_layers_cfg(cfg):
+        if lc["kernel_size"] != 2:
+            return False
+    io = cfg.io_spec
+    if len(io.inputs) != 1 or len(io.targets) != 1:
+        return False
+    if not isinstance(io.inputs[0].elem_type, Discrete):
+        return False
+    if not isinstance(io.inputs[0].module, EmbeddingIO):
+        return False
+    t_mod = io.targets[0].module
+    if type(t_mod).__name__ != "MLPIO" or t_mod.min_temperature is None:
+        return False
+    obj = io.targets[0].objective
+    if str(getattr(obj, "objective_type", "")) != "categorical_dist":
+        return False
+    return True
+
+
+def wavenet_weight_pack(params, n_layers: int, has_res: Tuple[bool, ...]):
+    """Flatten the WaveNet param tree: embedding table, then per layer
+    K0/K1 (the two taps of the kernel-2 dilated conv, each (D, 2*Dinner)),
+    conv bias, skip kernel/bias, [res kernel/bias], then the head chain."""
+    out = [params["input_modules_0"]["core"]["Embed_0"]["embedding"]]
+    for i in range(n_layers):
+        lp = params[f"layer{i}"]
+        K = lp["conv_dil0"]["kernel"]  # (2, D, mult*Dinner)
+        out += [K[0], K[1], lp["conv_dil0"]["bias"][None, :]]
+        out += [
+            lp["conv_skip"]["kernel"][0],
+            lp["conv_skip"]["bias"][None, :],
+        ]
+        if has_res[i]:
+            out += [
+                lp["conv_res"]["kernel"][0],
+                lp["conv_res"]["bias"][None, :],
+            ]
+    core = params["output_modules_0"]["estimator"]["core"]
+    k = 0
+    while f"Dense_{k}" in core:
+        d = core[f"Dense_{k}"]
+        out += [d["kernel"], d["bias"][None, :]]
+        k += 1
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def make_wavenet_pallas_decoder(
+    dilations: Tuple[int, ...],
+    has_res: Tuple[bool, ...],
+    dim: int,
+    q_levels: int,
+    n_head_dense: int,
+    min_temperature: float,
+    B: int,
+    prior_t: int,
+    n_steps: int,
+    argmax: bool,
+    interpret: bool = False,
+):
+    """Fused WaveNet decode: the whole AR loop in one kernel with per-layer
+    dilation-length ring buffers in VMEM (the Fast-WaveNet queues,
+    reference ``wavenet_v2.py:368-445``, without the hook surgery)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_layers = len(dilations)
+    Q = q_levels
+    D = dim
+    rf = sum(dilations) + 1
+    n_weights = 1 + sum(7 if r else 5 for r in has_res) + 2 * n_head_dense
+
+    def kernel(prompt_ref, temp_ref, seed_ref, *refs):
+        w_refs = list(refs[:n_weights])
+        out_ref = refs[n_weights]
+        rings = refs[n_weights + 1 :]
+
+        emb = w_refs.pop(0)
+        layer_w = []
+        for r in has_res:
+            n = 7 if r else 5
+            layer_w.append(w_refs[:n])
+            w_refs = w_refs[n:]
+        head = w_refs
+
+        if not argmax:
+            pltpu.prng_seed(seed_ref[0])
+        for r in rings:
+            r[:] = jnp.zeros_like(r)
+
+        def mish(v):
+            return v * jnp.tanh(jax.nn.softplus(v))
+
+        def body(t, _):
+            # push the sample at t-1, predict position t
+            s = t - 1
+            tok_in = prompt_ref[pl.ds(jnp.minimum(s, prior_t - 1), 1), :][0]
+
+            @pl.when(s >= prior_t)
+            def _():
+                pass  # tok_in is overwritten below for generated samples
+
+            gen = out_ref[pl.ds(jnp.maximum(s - prior_t, 0), 1), :][0]
+            tok = jnp.where(s < prior_t, tok_in, gen)
+
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
+                == tok[:, None]
+            ).astype(jnp.float32)
+            x = jnp.dot(onehot, emb[:], preferred_element_type=jnp.float32)
+
+            skips = jnp.zeros((B, layer_w[0][4].shape[-1]), jnp.float32)
+            for i, d in enumerate(dilations):
+                w = layer_w[i]
+                K0, K1, b, Wsk, bsk = w[0], w[1], w[2], w[3], w[4]
+                ptr = s % d
+                old = rings[i][pl.ds(ptr, 1)][0]  # input at time s - d
+                rings[i][pl.ds(ptr, 1)] = x[None]
+                fg = (
+                    jnp.dot(old, K0[:], preferred_element_type=jnp.float32)
+                    + jnp.dot(x, K1[:], preferred_element_type=jnp.float32)
+                    + b[:]
+                )
+                y = jnp.tanh(fg[:, :D]) * jax.nn.sigmoid(fg[:, D:])
+                skips = skips + (
+                    jnp.dot(y, Wsk[:], preferred_element_type=jnp.float32)
+                    + bsk[:]
+                )
+                if has_res[i]:
+                    Wr, br = w[5], w[6]
+                    x = x + (
+                        jnp.dot(y, Wr[:], preferred_element_type=jnp.float32)
+                        + br[:]
+                    )
+                else:
+                    x = y
+
+            h = skips
+            for k in range(n_head_dense - 1):
+                h = mish(
+                    jnp.dot(
+                        h, head[2 * k][:], preferred_element_type=jnp.float32
+                    )
+                    + head[2 * k + 1][:]
+                )
+            logits = (
+                jnp.dot(h, head[-2][:], preferred_element_type=jnp.float32)
+                + head[-1][:]
+            )
+            l_temp = jax.nn.sigmoid(logits[:, Q : Q + 1])
+            logits = logits[:, :Q] / jnp.maximum(l_temp, min_temperature)
+
+            if argmax:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                logits = logits / temp_ref[0, 0]
+                bits = pltpu.prng_random_bits((B, Q))
+                b24 = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+                )
+                u = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+                nxt = jnp.argmax(
+                    logits + (-jnp.log(-jnp.log(u))), axis=-1
+                ).astype(jnp.int32)
+
+            @pl.when(t >= prior_t)
+            def _():
+                out_ref[pl.ds(t - prior_t, 1), :] = nxt[None, :]
+
+            return 0
+
+        jax.lax.fori_loop(1, prior_t + n_steps, body, 0, unroll=False)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_steps, B), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prompt (prior_t, B)
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_weights)],
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((d, B, D), jnp.float32) for d in dilations
+        ],
+        interpret=interpret,
+    )
+
+    def fn(weights, prompt, seed, temperature):
+        out_t = call(
+            prompt.astype(jnp.int32).T,
+            jnp.asarray(temperature, jnp.float32).reshape(1, 1),
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            *weights,
+        )
+        return out_t.T
 
     return fn

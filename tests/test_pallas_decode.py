@@ -89,3 +89,58 @@ def test_pallas_sampled_path_is_tpu_only(force_pallas):
     prompts = (np.random.randint(0, 32, (2, 16)).astype(np.int32),)
     out = net.generate(prompts, n_steps=20, temperature=0.9)
     assert np.asarray(out[0]).shape == (2, 36)
+
+
+@pytest.mark.parametrize("blocks", [(3,), (2, 2)])
+def test_pallas_wavenet_argmax_matches_scan_exactly(
+    force_pallas, monkeypatch, blocks
+):
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io, blocks=blocks, dims_dilated=(16,), skips_dim=16,
+            residuals_dim=16, pad_side=0,
+        )
+    )
+    net.seed(0)
+    rf = net.rf
+    prompts = (np.random.randint(0, 32, (2, rf + 4)).astype(np.int32),)
+    net._ensure_params(prompts)
+    assert net._use_pallas_decode(2, rf + 4, 30, argmax=True)
+    a = np.asarray(net.generate(prompts, n_steps=30, temperature=None)[0])
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    b = np.asarray(net.generate(prompts, n_steps=30, temperature=None)[0])
+    assert np.array_equal(a, b)
+
+
+def test_pallas_wavenet_gate_rejects_unsupported(force_pallas):
+    from mimikit_tpu.ops.pallas_decode import supports_pallas_wavenet
+
+    # tied io weights are out of scope
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io, blocks=(3,), dims_dilated=(16,), skips_dim=16,
+            residuals_dim=16, tie_io_weights=True,
+        )
+    )
+    assert not supports_pallas_wavenet(net)
+
+    # no skips -> head reads the dilated path, unsupported
+    io2 = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net2 = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(io_spec=io2, blocks=(3,), dims_dilated=(16,))
+    )
+    assert not supports_pallas_wavenet(net2)
