@@ -41,3 +41,35 @@ def timeit(fn, *args, n: int = 5) -> float:
         out = fn(*args)
     fence(out)
     return max((time.time() - t0 - rtt) / n, 1e-9)
+
+
+def write_bench_json(name: str, results: list) -> str:
+    """Write a driver-consumable artifact ``BENCH_<name>.json`` at the repo
+    root: {"results": [...], "backend": ...} — one entry per metric, same
+    schema as bench.py's JSON line."""
+    import json
+    import os
+
+    import jax
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"BENCH_{name}.json",
+    )
+    with open(path, "w") as fp:
+        json.dump(
+            {"backend": jax.default_backend(), "results": results}, fp, indent=1
+        )
+    return path
+
+
+def step_flops(jitted, *args) -> float:
+    """XLA's own FLOP count for one call of a jitted fn (0 if the backend
+    can't report it)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0

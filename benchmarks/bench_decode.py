@@ -1,0 +1,94 @@
+"""Decode throughput artifacts: Pallas fused kernels vs the scan decoders.
+
+Writes ``BENCH_decode.json`` at the repo root (one entry per config) and
+prints each entry as a JSON line.  Baselines: 50k samples/s/chip for the
+3-tier SampleRNN north star; 1M samples/s for WaveNet-10.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def bench(net, B, n_steps, prior_t, q, flag, reps=3):
+    import jax
+
+    from _timing import fence, read_rtt
+
+    os.environ["MMK_PALLAS_DECODE"] = flag
+    prompts = (np.random.randint(0, q, (B, prior_t)).astype(np.int32),)
+    net._ensure_params(prompts)
+    out = net.generate(prompts, n_steps=n_steps, temperature=0.9)
+    fence(out[0])
+    rtt = read_rtt(out[0])
+    t0 = time.time()
+    for i in range(reps):
+        out = net.generate(
+            prompts, n_steps=n_steps, temperature=0.9, rng=jax.random.PRNGKey(i)
+        )
+        fence(out[0])
+    dt = max((time.time() - t0) / reps - rtt, 1e-9)
+    used_pallas = net._use_pallas_decode(B, prior_t, n_steps, argmax=False)
+    return B * n_steps / dt, dt * 1e6 / n_steps, used_pallas
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    import mimikit_tpu as mmk
+    from _timing import write_bench_json
+
+    results = []
+
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(sr=16000, q_levels=256, mlp_dim=256)
+    )
+    srnn = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(16, 8, 8), hidden_dim=256, io_spec=io)
+    )
+    srnn.seed(0)
+
+    io2 = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            sr=16000, q_levels=256, mlp_dim=128, input_module_type="embedding"
+        )
+    )
+    wn = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io2, blocks=(10,), dims_dilated=(128,), skips_dim=128,
+            residuals_dim=128, pad_side=0,
+        )
+    )
+    wn.seed(0)
+
+    cases = [
+        # (name, net, B, n_steps, prior_t, flag, baseline)
+        ("samplernn3_pallas_b1", srnn, 1, 16384, 32, "auto", 50_000.0),
+        ("samplernn3_scan_b1", srnn, 1, 16384, 32, "0", 50_000.0),
+        ("samplernn3_scan_b256", srnn, 256, 16384, 32, "0", 50_000.0),
+        ("wavenet10_pallas_b8", wn, 8, 2048, wn.rf + 8, "auto", 1e6),
+        ("wavenet10_scan_b64", wn, 64, 2048, wn.rf + 8, "0", 1e6),
+    ]
+    for name, net, B, n_steps, prior_t, flag, base in cases:
+        sps, us, used_pallas = bench(net, B, n_steps, prior_t, 256, flag)
+        entry = {
+            "metric": f"{name}_samples_per_sec",
+            "value": round(sps, 1),
+            "unit": "samples/s",
+            "vs_baseline": round(sps / base, 3),
+            "us_per_step": round(us, 2),
+            "pallas": bool(used_pallas and flag != "0"),
+        }
+        results.append(entry)
+        print(json.dumps(entry))
+
+    path = write_bench_json("decode", results)
+    print(f"# backend={jax.default_backend()} wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

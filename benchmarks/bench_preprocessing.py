@@ -55,18 +55,21 @@ def main():
         gla.jax_func, S[: 1 + gla_seconds * sr // 512], n=2
     )
 
-    for k, v in results.items():
-        print(
-            json.dumps(
-                {
-                    "metric": f"preproc_{k}_x_realtime",
-                    "value": round(v, 1),
-                    "unit": "x_realtime",
-                    "vs_baseline": round(v / 100.0, 2),
-                }
-            )
-        )
-    print(f"# backend={jax.default_backend()}", file=sys.stderr)
+    entries = [
+        {
+            "metric": f"preproc_{k}_x_realtime",
+            "value": round(v, 1),
+            "unit": "x_realtime",
+            "vs_baseline": round(v / 100.0, 2),
+        }
+        for k, v in results.items()
+    ]
+    for e in entries:
+        print(json.dumps(e))
+    from _timing import write_bench_json
+
+    path = write_bench_json("preproc", entries)
+    print(f"# backend={jax.default_backend()} wrote {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

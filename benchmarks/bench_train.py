@@ -10,6 +10,14 @@ import time
 import numpy as np
 
 
+RESULTS = []
+
+# v5e bf16 hardware peak; the 105 TFLOPS figure is this chip's measured
+# f32-effective matmul ceiling (known-FLOPs chain calibration, _timing.py)
+PEAK_FLOPS = 197e12
+CALIBRATED_F32_FLOPS = 105e12
+
+
 def bench_net(name, net, io, batch_size, batch_length, n_steps=20):
     import jax
     import jax.numpy as jnp
@@ -50,9 +58,11 @@ def bench_net(name, net, io, batch_size, batch_length, n_steps=20):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    from _timing import fence, read_rtt
+    from _timing import fence, read_rtt, step_flops
 
     step = jax.jit(step, donate_argnums=(0, 1))
+    flops = step_flops(step, net.params, opt_state, (x,), (y,),
+                       jax.random.PRNGKey(0))
     params = net.params
     rng = jax.random.PRNGKey(0)
     params, opt_state, loss = step(params, opt_state, (x,), (y,), rng)
@@ -63,16 +73,22 @@ def bench_net(name, net, io, batch_size, batch_length, n_steps=20):
     fence(loss)
     dt = max((time.time() - t0 - rtt) / n_steps, 1e-9)
     samples_per_sec = batch_size * batch_length / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"{name}_train_samples_per_sec",
-                "value": round(samples_per_sec, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_sec / 16000.0, 1),
-            }
+    entry = {
+        "metric": f"{name}_train_samples_per_sec",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / 16000.0, 1),
+        "ms_per_step": round(dt * 1e3, 2),
+    }
+    if flops:
+        achieved = flops / dt
+        entry["tflops"] = round(achieved / 1e12, 2)
+        entry["mfu_vs_peak"] = round(achieved / PEAK_FLOPS, 4)
+        entry["mfu_vs_calibrated_f32"] = round(
+            achieved / CALIBRATED_F32_FLOPS, 4
         )
-    )
+    RESULTS.append(entry)
+    print(json.dumps(entry))
     print(f"# {name}: {dt*1e3:.1f} ms/step loss={float(loss):.3f}", file=sys.stderr)
 
 
@@ -109,7 +125,10 @@ def main():
     )
     bench_net("wavenet10", wn, io2, batch_size=8, batch_length=4096)
     bench_loop_level()
-    print(f"# backend={jax.default_backend()}", file=sys.stderr)
+    from _timing import write_bench_json
+
+    path = write_bench_json("train", RESULTS)
+    print(f"# backend={jax.default_backend()} wrote {path}", file=sys.stderr)
 
 
 
@@ -169,16 +188,15 @@ def bench_loop_level():
     steady = deltas[2:]  # first epochs include compiles
     per = sum(steady) / len(steady) / per_epoch
     samples_per_sec = batch_size * batch_length / per
-    print(
-        json.dumps(
-            {
-                "metric": "samplernn3_train_loop_samples_per_sec",
-                "value": round(samples_per_sec, 1),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_sec / 16000.0, 1),
-            }
-        )
-    )
+    entry = {
+        "metric": "samplernn3_train_loop_samples_per_sec",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / 16000.0, 1),
+        "ms_per_step": round(per * 1e3, 2),
+    }
+    RESULTS.append(entry)
+    print(json.dumps(entry))
     print(
         f"# loop-level: {per*1e3:.1f} ms/step"
         f" (fused={loop._fused_step_fn is not None})",

@@ -476,20 +476,21 @@ class MuLawExpand(Functional):
 
 
 def _alaw_compress_np(x, A=87.6):
-    mask = np.abs(x) < (1 / A)
-    y = np.sign(x)
-    y[mask] *= (A * np.abs(x[mask])) / (1 + np.log(A))
-    y[~mask] *= (1 + np.log(A) * np.abs(x[~mask])) / (1 + np.log(A))
-    return y
+    """A-law companding, branchless (same curve as the reference's
+    ``alaw_compress``: linear segment below 1/A, else ``1 + ln(A)·|x|``,
+    both over ``1 + ln A``)."""
+    ax = np.abs(x)
+    scale = 1.0 / (1.0 + np.log(A))
+    segment = np.where(ax < 1.0 / A, A * ax, 1.0 + np.log(A) * ax)
+    return np.sign(x) * scale * segment
 
 
 def _alaw_expand_np(y, A=87.6):
-    x = np.sign(y)
-    ln_a = 1 + np.log(A)
-    mask = np.abs(y) < (1 / ln_a)
-    x[mask] *= (np.abs(y[mask]) * ln_a) / A
-    x[~mask] *= np.exp(-1 + np.abs(y[~mask]) * ln_a) / A
-    return x
+    """Inverse companding (reference ``alaw_expand`` semantics)."""
+    ay = np.abs(y)
+    k = 1.0 + np.log(A)
+    segment = np.where(ay < 1.0 / k, ay * k, np.exp(ay * k - 1.0))
+    return np.sign(y) * segment / A
 
 
 @dtc.dataclass
