@@ -526,20 +526,35 @@ class SampleRNN(ARMWithHidden):
             # interpret mode has no TPU PRNG — only the argmax path runs
             # off-TPU (and only when forced, for tests)
             return False
+        return self._pallas_mode(B, prior_t, n_steps) is not None
+
+    _PALLAS_CHUNK = 2048
+
+    def _pallas_mode(self, B: int, prior_t: int, n_steps: int):
+        """'single' (whole decode, one kernel call), 'chunked' (state
+        carried across fixed-size kernel calls — large stream batches), or
+        None when even a chunk would blow the VMEM budget."""
         H = self._config.hidden_dim
         w_bytes = 4 * sum(
             int(np.prod(l.shape))
             for l in jax.tree_util.tree_leaves(self.params)
         )
-        io_bytes = 4 * B * (n_steps + prior_t)
         scr_bytes = 4 * B * (
             self.rf + (2 * (len(self.frame_sizes) - 1)
                        + sum(self.module.up_factors)) * H
         )
-        return w_bytes + io_bytes + scr_bytes < 12 * 2**20
+        budget = 12 * 2**20
+        if w_bytes + 4 * B * (n_steps + prior_t) + scr_bytes < budget:
+            return "single"
+        C = min(prior_t + n_steps - self.rf, self._PALLAS_CHUNK)
+        # chunked state exists as both input and output + the out chunk
+        if w_bytes + 4 * B * (C + prior_t) + 3 * scr_bytes < budget:
+            return "chunked"
+        return None
 
     def _pallas_generate(self, prompts, n_steps, temperature, rng):
         from ..ops.pallas_decode import (
+            make_samplernn_pallas_chunked,
             make_samplernn_pallas_decoder,
             samplernn_weight_pack,
         )
@@ -547,7 +562,8 @@ class SampleRNN(ARMWithHidden):
         prompt = prompts[0]
         B, prior_t = prompt.shape
         argmax = temperature is None
-        key = ("pallas", B, prior_t, n_steps, argmax)
+        mode = self._pallas_mode(B, prior_t, n_steps)
+        key = ("pallas", mode, B, prior_t, n_steps, argmax)
         if key not in self._decoders:
             n_head_dense = 0
             core = self.params["outputs_0"]["estimator"]["core"]
@@ -555,8 +571,9 @@ class SampleRNN(ARMWithHidden):
                 n_head_dense += 1
             t_mod = self.config.io_spec.targets[0].module
             q = self.config.io_spec.inputs[0].elem_type.size
-            dec = make_samplernn_pallas_decoder(
-                tuple(self.frame_sizes),
+            fs = tuple(self.frame_sizes)
+            static = (
+                fs,
                 tuple(self.module.up_factors),
                 self._config.hidden_dim,
                 q,
@@ -564,17 +581,48 @@ class SampleRNN(ARMWithHidden):
                 float(t_mod.min_temperature),
                 B,
                 prior_t,
-                n_steps,
-                argmax,
-                interpret=jax.default_backend() == "cpu",
             )
-            fs = tuple(self.frame_sizes)
+            interp = jax.default_backend() == "cpu"
+            if mode == "single":
+                dec = make_samplernn_pallas_decoder(
+                    *static, n_steps, argmax, interpret=interp
+                )
 
-            @jax.jit
-            def run(params, prompt, rng, temp):
-                w = samplernn_weight_pack(params, fs)
-                seed = jax.random.randint(rng, (), 0, np.iinfo(np.int32).max)
-                return dec(w, prompt, seed, temp)
+                @jax.jit
+                def run(params, prompt, rng, temp):
+                    w = samplernn_weight_pack(params, fs)
+                    seed = jax.random.randint(
+                        rng, (), 0, np.iinfo(np.int32).max
+                    )
+                    return dec(w, prompt, seed, temp)
+
+            else:
+                rf = self.rf
+                n_it = prior_t + n_steps - rf
+                C = min(n_it, self._PALLAS_CHUNK)
+                n_chunks = -(-n_it // C)
+                dec = make_samplernn_pallas_chunked(
+                    *static, C, argmax, interpret=interp
+                )
+
+                @jax.jit
+                def run(params, prompt, rng, temp):
+                    w = samplernn_weight_pack(params, fs)
+                    seed = jax.random.randint(
+                        rng, (), 0, np.iinfo(np.int32).max // 2
+                    )
+                    prompt_T = prompt.astype(jnp.int32).T
+                    state = dec.init_state()
+                    state[0] = prompt[:, :rf].astype(jnp.int32)
+                    chunks = []
+                    for j in range(n_chunks):
+                        out_c, state = dec(
+                            w, prompt_T, seed + j, temp, rf + j * C, state
+                        )
+                        chunks.append(out_c)
+                    toks_T = jnp.concatenate(chunks, axis=0)
+                    start = prior_t - rf
+                    return toks_T[start : start + n_steps].T
 
             self._decoders[key] = run
         temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)

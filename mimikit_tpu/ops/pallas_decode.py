@@ -533,3 +533,214 @@ def make_wavenet_pallas_decoder(
         return out_t.T
 
     return fn
+
+
+# -- chunked SampleRNN decode (state-carrying, any batch size) ---------------
+
+@functools.lru_cache(maxsize=32)
+def make_samplernn_pallas_chunked(
+    frame_sizes: Tuple[int, ...],
+    up_factors: Tuple[int, ...],
+    hidden_dim: int,
+    q_levels: int,
+    n_head_dense: int,
+    min_temperature: float,
+    B: int,
+    prior_t: int,
+    chunk: int,
+    argmax: bool,
+    interpret: bool = False,
+):
+    """Like ``make_samplernn_pallas_decoder`` but processes ``chunk`` steps
+    per kernel call with the decode state (window, LSTM carries, tier
+    caches) carried IN and OUT — the output buffer no longer has to fit in
+    VMEM with the weights, so large stream batches (the production bulk
+    path) run fused too.  The wrapper scans the kernel over chunks.
+
+    Returns ``fn(weights, prompt_T, seed, temp, t0, state) ->
+    (out_chunk_T, new_state)`` where ``state = (win, (h...), (c...),
+    (tout...))`` and t0 is the absolute step of the chunk's first
+    iteration.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    fs = tuple(frame_sizes)
+    up = tuple(up_factors)
+    H = hidden_dim
+    Q = q_levels
+    rf = fs[0]
+    n_tiers = len(fs)
+    n_weights = 7 * (n_tiers - 1) + 2 + 2 * n_head_dense
+    n_state = 1 + 2 * (n_tiers - 1) + len(up)
+
+    def kernel(t0_ref, temp_ref, seed_ref, prompt_ref, *refs):
+        w_refs = refs[:n_weights]
+        state_in = refs[n_weights : n_weights + n_state]
+        outs = refs[n_weights + n_state :]
+        out_ref = outs[0]
+        state_out = outs[1:]
+
+        win_in = state_in[0]
+        h_in = state_in[1 : 1 + (n_tiers - 1)]
+        c_in = state_in[1 + (n_tiers - 1) : 1 + 2 * (n_tiers - 1)]
+        tout_in = state_in[1 + 2 * (n_tiers - 1) :]
+        win_ref = state_out[0]
+        h_refs = state_out[1 : 1 + (n_tiers - 1)]
+        c_refs = state_out[1 + (n_tiers - 1) : 1 + 2 * (n_tiers - 1)]
+        tout_refs = state_out[1 + 2 * (n_tiers - 1) :]
+
+        def tier_w(i):
+            base = 7 * i
+            return [w_refs[base + k] for k in range(7)]
+
+        bot_W, bot_b = w_refs[7 * (n_tiers - 1)], w_refs[7 * (n_tiers - 1) + 1]
+        head = w_refs[7 * (n_tiers - 1) + 2 :]
+
+        if not argmax:
+            pltpu.prng_seed(seed_ref[0])
+
+        win_ref[:] = win_in[:]
+        for src, dst in zip(h_in + c_in + tout_in, h_refs + c_refs + tout_refs):
+            dst[:] = src[:]
+
+        def mish(v):
+            return v * jnp.tanh(jax.nn.softplus(v))
+
+        t0 = t0_ref[0]
+
+        def body(i, _):
+            t = t0 + i
+            xf = (win_ref[:].astype(jnp.float32) / Q - 0.5) * 2.0
+
+            for k in range(n_tiers - 1):
+                f = fs[k]
+                W_in, b_in, Wi, Wh, b, W_up, b_up = tier_w(k)
+
+                @pl.when((t % f) == 0)
+                def _(k=k, f=f, W_in=W_in, b_in=b_in, Wi=Wi, Wh=Wh, b=b,
+                      W_up=W_up, b_up=b_up):
+                    x = (
+                        jnp.dot(
+                            xf[:, rf - f :], W_in[:],
+                            preferred_element_type=jnp.float32,
+                        )
+                        + b_in[:]
+                    )
+                    if k > 0:
+                        idx = (t // f) % up[k - 1]
+                        x = x + tout_refs[k - 1][pl.ds(idx, 1)][0]
+                    gates = (
+                        jnp.dot(x, Wi[:], preferred_element_type=jnp.float32)
+                        + jnp.dot(
+                            h_refs[k][:], Wh[:],
+                            preferred_element_type=jnp.float32,
+                        )
+                        + b[:]
+                    )
+                    gi = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+                    gf = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+                    gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+                    go = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
+                    c2 = gf * c_refs[k][:] + gi * gg
+                    h2 = go * jnp.tanh(c2)
+                    c_refs[k][:] = c2
+                    h_refs[k][:] = h2
+                    y_up = (
+                        jnp.dot(h2, W_up[:], preferred_element_type=jnp.float32)
+                        + b_up[:]
+                    )
+                    tout_refs[k][:] = jnp.swapaxes(
+                        y_up.reshape(B, up[k], H), 0, 1
+                    )
+
+            x = (
+                jnp.dot(
+                    xf[:, rf - fs[-1] :], bot_W[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + bot_b[:]
+            )
+            idx = t % fs[-2]
+            x = x + tout_refs[-1][pl.ds(idx, 1)][0]
+
+            h = x
+            for k in range(n_head_dense - 1):
+                h = mish(
+                    jnp.dot(
+                        h, head[2 * k][:], preferred_element_type=jnp.float32
+                    )
+                    + head[2 * k + 1][:]
+                )
+            logits = (
+                jnp.dot(h, head[-2][:], preferred_element_type=jnp.float32)
+                + head[-1][:]
+            )
+            l_temp = jax.nn.sigmoid(logits[:, Q : Q + 1])
+            logits = logits[:, :Q] / jnp.maximum(l_temp, min_temperature)
+
+            if argmax:
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                logits = logits / temp_ref[0, 0]
+                bits = pltpu.prng_random_bits((B, Q))
+                b24 = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+                )
+                u = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+                tok = jnp.argmax(
+                    logits + (-jnp.log(-jnp.log(u))), axis=-1
+                ).astype(jnp.int32)
+
+            t_clip = jnp.minimum(t, prior_t - 1)
+            tp = prompt_ref[pl.ds(t_clip, 1), :][0]
+            tok = jnp.where(t < prior_t, tp, tok)
+
+            out_ref[pl.ds(i, 1), :] = tok[None, :]
+            win_ref[:] = jnp.concatenate(
+                [win_ref[:, 1:], tok[:, None]], axis=1
+            )
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
+
+    state_shapes = (
+        [jax.ShapeDtypeStruct((B, rf), jnp.int32)]
+        + [
+            jax.ShapeDtypeStruct((B, H), jnp.float32)
+            for _ in range(2 * (n_tiers - 1))
+        ]
+        + [jax.ShapeDtypeStruct((u, B, H), jnp.float32) for u in up]
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((chunk, B), jnp.int32)] + state_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # t0 (1,)
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # temperature
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prompt (prior_t, B)
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_weights)],
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_state)],
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_state),
+        interpret=interpret,
+    )
+
+    def init_state():
+        return [jnp.zeros(s.shape, s.dtype) for s in state_shapes]
+
+    def fn(weights, prompt_T, seed, temp, t0, state):
+        outs = call(
+            jnp.asarray(t0, jnp.int32).reshape(1),
+            jnp.asarray(temp, jnp.float32).reshape(1, 1),
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            prompt_T,
+            *weights,
+            *state,
+        )
+        return outs[0], outs[1:]
+
+    fn.init_state = init_state
+    return fn

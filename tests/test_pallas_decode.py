@@ -73,8 +73,10 @@ def test_pallas_gate_respects_vmem_budget(force_pallas):
     net = _net()
     prompts = (np.random.randint(0, 32, (1, 16)).astype(np.int32),)
     net._ensure_params(prompts)
-    # a generation too large for VMEM must fall back
-    assert not net._use_pallas_decode(512, 16, 1 << 20, argmax=True)
+    # large generations chunk instead of falling back...
+    assert net._pallas_mode(512, 16, 1 << 20) == "chunked"
+    # ...but a stream batch whose STATE outgrows VMEM must fall back
+    assert net._use_pallas_decode(1 << 20, 16, 64, argmax=True) is False
 
 
 def test_pallas_sampled_path_is_tpu_only(force_pallas):
@@ -144,3 +146,19 @@ def test_pallas_wavenet_gate_rejects_unsupported(force_pallas):
         mmk.WaveNet.Config(io_spec=io2, blocks=(3,), dims_dilated=(16,))
     )
     assert not supports_pallas_wavenet(net2)
+
+
+def test_pallas_chunked_matches_scan_exactly(force_pallas, monkeypatch):
+    """The state-carrying chunked kernel (large-batch path) must agree with
+    the scan decoder across chunk boundaries."""
+    net = _net()
+    net._PALLAS_CHUNK = 16  # force several chunks over 50 steps
+    monkeypatch.setattr(
+        type(net), "_pallas_mode", lambda self, B, p, n: "chunked"
+    )
+    prompts = (np.random.randint(0, 32, (2, 16)).astype(np.int32),)
+    net._ensure_params(prompts)
+    a = np.asarray(net.generate(prompts, n_steps=50, temperature=None)[0])
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    b = np.asarray(net.generate(prompts, n_steps=50, temperature=None)[0])
+    assert np.array_equal(a, b)
