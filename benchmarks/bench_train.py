@@ -18,7 +18,8 @@ PEAK_FLOPS = 197e12
 CALIBRATED_F32_FLOPS = 105e12
 
 
-def bench_net(name, net, io, batch_size, batch_length, n_steps=20):
+def bench_net(name, net, io, batch_size, batch_length, n_steps=20,
+              matmul_precision=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -57,6 +58,14 @@ def bench_net(name, net, io, batch_size, batch_length, n_steps=20):
         loss, grads = jax.value_and_grad(compute)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    if matmul_precision is not None:
+        # the train loop's trainer_kwargs={"matmul_precision": ...} path
+        inner = step
+
+        def step(params, opt_state, inputs, targets, rng):
+            with jax.default_matmul_precision(matmul_precision):
+                return inner(params, opt_state, inputs, targets, rng)
 
     from _timing import fence, read_rtt, step_flops
 
@@ -124,6 +133,16 @@ def main():
         )
     )
     bench_net("wavenet10", wn, io2, batch_size=8, batch_length=4096)
+    wn2 = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io2, blocks=(10,), dims_dilated=(128,), skips_dim=128,
+            residuals_dim=128, pad_side=0,
+        )
+    )
+    bench_net(
+        "wavenet10_bf16", wn2, io2, batch_size=8, batch_length=4096,
+        matmul_precision="bfloat16",
+    )
     bench_loop_level()
     from _timing import write_bench_json
 

@@ -10,12 +10,12 @@ magnitude frames, Griffin-Lim inversion); ``BENCH_NET=seq2seq`` the
 encoder/decoder LSTM over the same frames — both pass at 438 Hz
 (bin-exact at the 15.6 Hz frame resolution).
 
-``BENCH_NET=transformer`` swaps in SimpleTransformer.  Note it is
-expected to fail at this scale: one-step accuracy reaches ~96% but a
-small sample-level transformer free-runs into collapse (exposure bias
-over the 36-sample tone period) — a modeling limit, not a decode bug
-(the window decoder is bit-equal to the stepwise path; see
-tests/test_transformers.py).  SampleRNN is the flagship and the default.
+``BENCH_NET=transformer`` swaps in SimpleTransformer, which also passes
+(440.0 Hz) under a capped schedule — 60 epochs x 400 batches.  The
+round-1 failure mode (free-running collapse over the 36-sample tone
+period) was a training-schedule artifact: the uncapped 100x~4000-step
+schedule ran the tiny model far past the exposure-robust optimum.
+SampleRNN is the flagship and the default.
 """
 import json
 import os
@@ -94,12 +94,13 @@ def main():
             )
         )
     batch_lengths = {"transformer": 512, "freqnet": 32, "seq2seq": 16}
-    epochs = {"transformer": 100, "freqnet": 10, "seq2seq": 10}
+    epochs = {"transformer": 60, "freqnet": 10, "seq2seq": 10}
+    limits = {"freqnet": 200, "seq2seq": 200, "transformer": 400}
     train = mmk.TrainARMConfig(
         root_dir=os.path.join(tmp, "trainings"),
         batch_size=16,
         batch_length=batch_lengths.get(which, 1024),
-        limit_train_batches=200 if which in ("freqnet", "seq2seq") else None,
+        limit_train_batches=limits.get(which),
         # TBPTT chunking only applies to the recurrent sample-domain model
         tbptt_chunk_length=sr if which == "samplernn" else None,
         max_epochs=epochs.get(which, 6),
