@@ -69,8 +69,11 @@ def main():
         # (name, net, B, n_steps, prior_t, flag, baseline)
         ("samplernn3_pallas_b1", srnn, 1, 16384, 32, "auto", 50_000.0),
         ("samplernn3_scan_b1", srnn, 1, 16384, 32, "0", 50_000.0),
+        ("samplernn3_pallas_b256", srnn, 256, 16384, 32, "auto", 50_000.0),
+        ("samplernn3_pallas_b512", srnn, 512, 16384, 32, "auto", 50_000.0),
         ("samplernn3_scan_b256", srnn, 256, 16384, 32, "0", 50_000.0),
         ("wavenet10_pallas_b8", wn, 8, 2048, wn.rf + 8, "auto", 1e6),
+        ("wavenet10_pallas_b24", wn, 24, 2048, wn.rf + 8, "auto", 1e6),
         ("wavenet10_scan_b64", wn, 64, 2048, wn.rf + 8, "0", 1e6),
     ]
     for name, net, B, n_steps, prior_t, flag, base in cases:
