@@ -65,6 +65,19 @@ def main():
     )
     wn.seed(0)
 
+    io3 = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            sr=16000, q_levels=256, mlp_dim=128, input_module_type="embedding"
+        )
+    )
+    tf = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=io3, model_dim=256, n_heads=8, feedforward_dim=1024,
+            num_layers=8, rf=64,
+        )
+    )
+    tf.seed(0)
+
     cases = [
         # (name, net, B, n_steps, prior_t, flag, baseline)
         ("samplernn3_pallas_b1", srnn, 1, 16384, 32, "auto", 50_000.0),
@@ -75,6 +88,8 @@ def main():
         ("wavenet10_pallas_b8", wn, 8, 2048, wn.rf + 8, "auto", 1e6),
         ("wavenet10_pallas_b24", wn, 24, 2048, wn.rf + 8, "auto", 1e6),
         ("wavenet10_scan_b64", wn, 64, 2048, wn.rf + 8, "0", 1e6),
+        ("transformer8l_pallas_b1", tf, 1, 4096, 64, "auto", 16000.0),
+        ("transformer8l_scan_b1", tf, 1, 4096, 64, "0", 16000.0),
     ]
     for name, net, B, n_steps, prior_t, flag, base in cases:
         sps, us, used_pallas = bench(net, B, n_steps, prior_t, 256, flag)

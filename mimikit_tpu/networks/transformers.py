@@ -472,15 +472,103 @@ class SimpleTransformer(_StatefulTransformerARM):
         self._decoders[key] = run
         return run
 
+    # -- fused Pallas decode (ops/pallas_decode.py) --------------------------
+    def _use_pallas_decode(
+        self, B: int, prior_t: int, n_steps: int, argmax: bool = True
+    ) -> bool:
+        import os
+
+        flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
+        if flag == "0":
+            return False
+        from ..ops.pallas_decode import supports_pallas_transformer
+
+        if not supports_pallas_transformer(self) or prior_t < self.rf:
+            return False
+        if jax.default_backend() == "cpu" and (flag != "1" or not argmax):
+            # interpret mode has no TPU PRNG — only the argmax path runs
+            # off-TPU (and only when forced, for tests)
+            return False
+        c = self._config
+        # the fused kernel is the LOW-LATENCY single-stream path: its
+        # per-stream attention loop serializes over B, while the window
+        # scan batches streams into one wide MXU matmul per op.  Measured
+        # on v5e (8L, d=256, rf=64): B=1 kernel 26.5 us/step vs scan 62.9;
+        # B=8 kernel 372 us/step vs scan 140 — so route B>1 to the scan.
+        if B != 1:
+            return False
+        # activation working set (rf rows x feedforward lanes, a handful
+        # live at once) must stay inside scoped VMEM; weights + out buffer
+        # inside total VMEM (see SampleRNN._SCOPED_VMEM_BYTES)
+        if 3 * 4 * self.rf * max(c.feedforward_dim, c.model_dim) > 14 * 2**20:
+            return False
+        w_bytes = 4 * sum(
+            int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(self.params)
+        )
+        return w_bytes + 4 * B * n_steps < 100 * 2**20
+
+    def _pallas_generate(self, prompts, n_steps, temperature, rng):
+        from ..ops.pallas_decode import (
+            make_transformer_pallas_decoder,
+            transformer_weight_pack,
+        )
+
+        prompt = jnp.asarray(prompts[0])
+        B, Tp = prompt.shape
+        argmax = temperature is None
+        c = self._config
+        t_mod = c.io_spec.targets[0].module
+        q = c.io_spec.inputs[0].elem_type.size
+        n_head_dense = 0
+        core = self.params["output_modules_0"]["estimator"]["core"]
+        while f"Dense_{n_head_dense}" in core:
+            n_head_dense += 1
+        key = ("pallas", B, Tp, n_steps, argmax)
+        if key not in self._decoders:
+            dec = make_transformer_pallas_decoder(
+                c.model_dim,
+                c.n_heads,
+                c.feedforward_dim,
+                c.num_layers,
+                self.rf,
+                q,
+                n_head_dense,
+                float(t_mod.min_temperature),
+                bool(c.with_layer_norm),
+                B,
+                n_steps,
+                argmax,
+                interpret=jax.default_backend() == "cpu",
+            )
+            L, fln = c.num_layers, bool(c.with_layer_norm)
+
+            @jax.jit
+            def run(params, prompt, rng, temp):
+                w = transformer_weight_pack(params, L, fln)
+                seed = jax.random.randint(
+                    rng, (), 0, np.iinfo(np.int32).max
+                )
+                return dec(w, prompt[:, -self.rf :], seed, temp)
+
+            self._decoders[key] = run
+        temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        tokens = self._decoders[key](self.params, prompt, rng, temp)
+        return (
+            jnp.concatenate([prompt, tokens.astype(prompt.dtype)], axis=1),
+        )
+
     def generate(self, prompts: Tuple, n_steps: int, temperature=None,
                  rng=None):
         """Autoregressive decode as one jitted ``lax.scan``.
 
-        Prompts of at least rf tokens use the sliding-window decoder
-        (matches the stepwise loop exactly and is the fast path on TPU);
-        shorter prompts use the KV-cached incremental decoder, which
-        attends over the full history (identical to stepwise while the
-        history still fits in the rf window)."""
+        Prompts of at least rf tokens use the fused Pallas kernel when the
+        config supports it (the whole AR loop in one kernel, weights
+        resident in VMEM), else the sliding-window decoder (matches the
+        stepwise loop exactly and is the fast path on TPU); shorter
+        prompts use the KV-cached incremental decoder, which attends over
+        the full history (identical to stepwise while the history still
+        fits in the rf window)."""
         self._ensure_params(prompts)
         x = jnp.asarray(prompts[0])
         B, Tp = x.shape
@@ -488,6 +576,10 @@ class SimpleTransformer(_StatefulTransformerARM):
             rng = self.next_rng()
         argmax = temperature is None
         temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        if Tp >= self.rf and self._use_pallas_decode(
+            B, Tp, n_steps, argmax=argmax
+        ):
+            return self._pallas_generate(prompts, n_steps, temperature, rng)
         if Tp >= self.rf:
             dec = self._make_window_decoder(B, Tp, n_steps, x.dtype, argmax)
             return (dec(self.params, x, rng, temp),)

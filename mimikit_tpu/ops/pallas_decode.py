@@ -36,6 +36,9 @@ __all__ = [
     "supports_pallas_wavenet",
     "wavenet_weight_pack",
     "make_wavenet_pallas_decoder",
+    "supports_pallas_transformer",
+    "transformer_weight_pack",
+    "make_transformer_pallas_decoder",
 ]
 
 
@@ -743,4 +746,342 @@ def make_samplernn_pallas_chunked(
         return outs[0], outs[1:]
 
     fn.init_state = init_state
+    return fn
+
+
+# -- SimpleTransformer --------------------------------------------------------
+
+def supports_pallas_transformer(net) -> bool:
+    """True for the standard SimpleTransformer shape: post-norm ReLU decoder
+    blocks (the core hardcodes both — ``networks/transformers.py:157``), one
+    embedding input and one learned-temperature MLP head.  Mirrors the
+    reference's generation semantics (``transformers.py:70-178`` in the
+    reference): each step refeeds the last ``rf`` tokens with
+    window-relative positional encoding — so the decode state is just the
+    token window and the whole AR loop fits in one kernel."""
+    cfg = net.config
+    if type(net).__name__ != "SimpleTransformer":
+        return False
+    try:
+        from ..features.functionals import Discrete
+        from ..modules.io import EmbeddingIO
+    except Exception:  # pragma: no cover
+        return False
+    if cfg.model_dim % cfg.n_heads != 0:
+        return False
+    io = cfg.io_spec
+    if len(io.inputs) != 1 or len(io.targets) != 1:
+        return False
+    if not isinstance(io.inputs[0].elem_type, Discrete):
+        return False
+    if not isinstance(io.inputs[0].module, EmbeddingIO):
+        return False
+    t_mod = io.targets[0].module
+    if type(t_mod).__name__ != "MLPIO" or t_mod.min_temperature is None:
+        return False
+    if getattr(t_mod, "weight_norm", False) or getattr(cfg, "weight_norm", False):
+        return False
+    obj = io.targets[0].objective
+    if str(getattr(obj, "objective_type", "")) != "categorical_dist":
+        return False
+    return True
+
+
+def transformer_weight_pack(params, num_layers: int, with_final_ln: bool):
+    """Flatten the SimpleTransformer param tree into the kernel's argument
+    list, stacking the per-layer tensors along a leading layer axis so the
+    kernel indexes them with a static layer id.
+
+    Attention kernels (d, nH, dH) flatten to (d, d) with head blocks
+    contiguous on the columns; out kernels (nH, dH, d) flatten to (d, d)
+    with head blocks contiguous on the rows — matching the head-major
+    concat the kernel performs.
+    """
+    L = num_layers
+    d = params["model"]["block0"]["ln1"]["scale"].shape[0]
+
+    def attn(i, name):
+        a = params["model"][f"block{i}"][name]
+        per = []
+        for part in ("query", "key", "value"):
+            per += [
+                a[part]["kernel"].reshape(d, -1),
+                a[part]["bias"].reshape(1, -1),
+            ]
+        per += [
+            a["out"]["kernel"].reshape(-1, d),
+            a["out"]["bias"].reshape(1, -1),
+        ]
+        return per
+
+    def stack(getter):
+        return [
+            jnp.stack([getter(i)[k] for i in range(L)])
+            for k in range(len(getter(0)))
+        ]
+
+    out = [params["input_heads_0"]["core"]["Embed_0"]["embedding"]]
+    out += stack(lambda i: attn(i, "self_attn"))
+    out += stack(lambda i: attn(i, "cross_attn"))
+    out += stack(
+        lambda i: [
+            params["model"][f"block{i}"][f"ln{k}"][p].reshape(1, -1)
+            for k in (1, 2, 3)
+            for p in ("scale", "bias")
+        ]
+    )
+    out += stack(
+        lambda i: [
+            params["model"][f"block{i}"]["Dense_0"]["kernel"],
+            params["model"][f"block{i}"]["Dense_0"]["bias"].reshape(1, -1),
+            params["model"][f"block{i}"]["Dense_1"]["kernel"],
+            params["model"][f"block{i}"]["Dense_1"]["bias"].reshape(1, -1),
+        ]
+    )
+    if with_final_ln:
+        out += [
+            params["model"]["final_ln"]["scale"].reshape(1, -1),
+            params["model"]["final_ln"]["bias"].reshape(1, -1),
+        ]
+    core = params["output_modules_0"]["estimator"]["core"]
+    k = 0
+    while f"Dense_{k}" in core:
+        dd = core[f"Dense_{k}"]
+        out += [dd["kernel"], dd["bias"][None, :]]
+        k += 1
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def make_transformer_pallas_decoder(
+    model_dim: int,
+    n_heads: int,
+    feedforward_dim: int,
+    num_layers: int,
+    rf: int,
+    q_levels: int,
+    n_head_dense: int,
+    min_temperature: float,
+    with_final_ln: bool,
+    B: int,
+    n_steps: int,
+    argmax: bool,
+    interpret: bool = False,
+):
+    """Whole-AR-loop fused decode for SimpleTransformer.
+
+    Reproduces the sliding-window scan decoder
+    (``networks/transformers.py:_make_window_decoder``) step for step:
+    embed the window, add window-relative sinusoidal PE, run the post-norm
+    decoder stack (self-attn + cross-attn against the PE'd window + ReLU
+    FFN), sample from the last position's learned-temperature logits,
+    shift the window.  All weights stay in VMEM across the generation; the
+    only carried state is the (B, rf) token window.
+
+    Returns ``fn(weights_list, window_i32 (B, rf), seed, temp) ->
+    (B, n_steps) int32`` (generated tokens only).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = model_dim
+    nH = n_heads
+    dH = d // nH
+    ff = feedforward_dim
+    L = num_layers
+    Q = q_levels
+    R = B * rf
+    n_stacked = 22  # 8 self-attn + 8 cross-attn + 6 layer-norm
+    n_weights = 1 + n_stacked + 4 + (2 if with_final_ln else 0) + 2 * n_head_dense
+
+    # window-relative positional encoding: every step re-encodes positions
+    # 0..rf-1 (reference semantics), so the table is static — passed as a
+    # VMEM input (pallas kernels cannot capture array constants)
+    from ..networks.transformers import sinusoidal_pe
+
+    pe_win = np.tile(sinusoidal_pe(rf, d), (B, 1))  # (B*rf, d)
+    big_neg = float(np.finfo(np.float32).min)
+    inv_sqrt_dh = 1.0 / float(np.sqrt(dH))
+
+    def kernel(temp_ref, seed_ref, win0_ref, pe_ref, *refs):
+        w = list(refs[:n_weights])
+        out_ref = refs[n_weights]
+        win_ref = refs[n_weights + 1]
+
+        embed = w.pop(0)
+        self_w = [w.pop(0) for _ in range(8)]
+        cross_w = [w.pop(0) for _ in range(8)]
+        ln_w = [w.pop(0) for _ in range(6)]
+        ffn_w = [w.pop(0) for _ in range(4)]
+        final_w = [w.pop(0), w.pop(0)] if with_final_ln else None
+        head = w
+
+        if not argmax:
+            pltpu.prng_seed(seed_ref[0])
+        win_ref[:] = win0_ref[:]
+
+        pe = pe_ref[:]
+        row = jax.lax.broadcasted_iota(jnp.int32, (rf, rf), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (rf, rf), 1)
+        causal = row >= col
+
+        def layer_norm(x, scale, bias):
+            # flax LayerNorm formula (mean of squares minus squared mean)
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            mean2 = jnp.mean(x * x, axis=-1, keepdims=True)
+            var = jnp.maximum(0.0, mean2 - mean * mean)
+            return (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+        def mish(v):
+            return v * jnp.tanh(jax.nn.softplus(v))
+
+        def attention(x, kv, l, wset):
+            Wq, bq, Wk, bk, Wv, bv, Wo, bo = (t[l] for t in wset)
+            q = jnp.dot(x, Wq, preferred_element_type=jnp.float32) + bq
+            k = jnp.dot(kv, Wk, preferred_element_type=jnp.float32) + bk
+            v = jnp.dot(kv, Wv, preferred_element_type=jnp.float32) + bv
+            q = q * inv_sqrt_dh
+            stream_outs = []
+            for s in range(B):
+                r0 = s * rf
+                head_outs = []
+                for h in range(nH):
+                    c0 = h * dH
+                    qh = q[r0 : r0 + rf, c0 : c0 + dH]
+                    kh = k[r0 : r0 + rf, c0 : c0 + dH]
+                    vh = v[r0 : r0 + rf, c0 : c0 + dH]
+                    sc = jax.lax.dot_general(
+                        qh, kh,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (rf, rf)
+                    sc = jnp.where(causal, sc, big_neg)
+                    p = jax.nn.softmax(sc, axis=-1)
+                    head_outs.append(
+                        jnp.dot(p, vh, preferred_element_type=jnp.float32)
+                    )
+                stream_outs.append(jnp.concatenate(head_outs, axis=1))
+            a = (
+                stream_outs[0]
+                if B == 1
+                else jnp.concatenate(stream_outs, axis=0)
+            )
+            return jnp.dot(a, Wo, preferred_element_type=jnp.float32) + bo
+
+        def body(t, _):
+            toks = win_ref[:]  # (B, rf) int32
+            # per-stream one-hot matmul lookup: Mosaic supports the
+            # (1, rf) -> (rf, 1) shape cast but not (B, rf) -> (B*rf, 1)
+            qiota = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)
+            xs = []
+            for s in range(B):
+                col = toks[s : s + 1, :].reshape(rf, 1)
+                oh = (col == qiota).astype(jnp.float32)  # (rf, Q)
+                xs.append(
+                    jnp.dot(oh, embed[:], preferred_element_type=jnp.float32)
+                )
+            x = xs[0] if B == 1 else jnp.concatenate(xs, axis=0)  # (R, d)
+            x = x + pe
+            memory = x
+            for l in range(L):
+                sw = [self_w[i] for i in range(8)]
+                cw = [cross_w[i] for i in range(8)]
+                x = layer_norm(
+                    x + attention(x, x, l, sw), ln_w[0][l], ln_w[1][l]
+                )
+                x = layer_norm(
+                    x + attention(x, memory, l, cw), ln_w[2][l], ln_w[3][l]
+                )
+                h = (
+                    jnp.dot(
+                        x, ffn_w[0][l], preferred_element_type=jnp.float32
+                    )
+                    + ffn_w[1][l]
+                )
+                h = jnp.maximum(h, 0.0)
+                x = layer_norm(
+                    x
+                    + jnp.dot(
+                        h, ffn_w[2][l], preferred_element_type=jnp.float32
+                    )
+                    + ffn_w[3][l],
+                    ln_w[4][l],
+                    ln_w[5][l],
+                )
+            if with_final_ln:
+                x = layer_norm(x, final_w[0][:], final_w[1][:])
+
+            # last position of each stream
+            if B == 1:
+                last = x[rf - 1 : rf, :]
+            else:
+                last = jnp.concatenate(
+                    [x[s * rf + rf - 1 : s * rf + rf, :] for s in range(B)],
+                    axis=0,
+                )  # (B, d)
+
+            hh = last
+            for kk in range(n_head_dense - 1):
+                hh = mish(
+                    jnp.dot(
+                        hh, head[2 * kk][:],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + head[2 * kk + 1][:]
+                )
+            logits = (
+                jnp.dot(hh, head[-2][:], preferred_element_type=jnp.float32)
+                + head[-1][:]
+            )  # (B, Q + 1)
+            l_temp = jax.nn.sigmoid(logits[:, Q : Q + 1])
+            logits = logits[:, :Q] / jnp.maximum(l_temp, min_temperature)
+
+            if argmax:
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                logits = logits / temp_ref[0, 0]
+                bits = pltpu.prng_random_bits((B, Q))
+                b24 = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+                )
+                u = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+                gumbel = -jnp.log(-jnp.log(u))
+                tok = jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
+
+            out_ref[pl.ds(t, 1), :] = tok[None, :]
+            win_ref[:] = jnp.concatenate(
+                [win_ref[:, 1:], tok[:, None]], axis=1
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0, unroll=False)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_steps, B), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # temperature
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # initial window (B, rf)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # PE table (B*rf, d)
+            *[
+                pl.BlockSpec(memory_space=pltpu.VMEM)
+                for _ in range(n_weights)
+            ],
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, rf), jnp.int32)],
+        interpret=interpret,
+    )
+
+    def fn(weights, window, seed, temperature):
+        out_t = call(
+            jnp.asarray(temperature, jnp.float32).reshape(1, 1),
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            window.astype(jnp.int32),
+            jnp.asarray(pe_win),
+            *weights,
+        )
+        return out_t.T  # (B, n_steps)
+
     return fn

@@ -162,3 +162,89 @@ def test_pallas_chunked_matches_scan_exactly(force_pallas, monkeypatch):
     monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
     b = np.asarray(net.generate(prompts, n_steps=50, temperature=None)[0])
     assert np.array_equal(a, b)
+
+
+# -- SimpleTransformer --------------------------------------------------------
+
+def _transformer(fln=True, n_heads=4, q=32):
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=q, mlp_dim=16, n_mlp_layers=1,
+            input_module_type="embedding",
+        )
+    )
+    tr = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=io, model_dim=32, n_heads=n_heads, feedforward_dim=64,
+            num_layers=2, rf=16, with_layer_norm=fln,
+        )
+    )
+    tr.seed(0)
+    return tr
+
+
+def _jitter_params(tr, scale=0.5):
+    """Random-init transformers collapse to one argmax token; jittering the
+    weights makes the generated sequence non-degenerate so token equality
+    actually exercises attention/LN/FFN parity."""
+    import jax
+
+    leaves, tree = jax.tree_util.tree_flatten(tr.params)
+    ks = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    tr.params = jax.tree_util.tree_unflatten(
+        tree,
+        [l + jax.random.normal(k, l.shape) * scale for l, k in zip(leaves, ks)],
+    )
+
+
+@pytest.mark.parametrize("fln,n_heads,B", [(True, 4, 2), (False, 2, 1)])
+def test_pallas_transformer_argmax_matches_scan_exactly(
+    force_pallas, monkeypatch, fln, n_heads, B
+):
+    import jax
+
+    tr = _transformer(fln=fln, n_heads=n_heads)
+    prompts = (np.random.randint(0, 32, (B, 16)).astype(np.int32),)
+    tr._ensure_params(prompts)
+    _jitter_params(tr)
+    if B == 1:
+        assert tr._use_pallas_decode(B, 16, 40, argmax=True), (
+            "pallas gate refused a supported transformer config"
+        )
+        a = np.asarray(
+            tr.generate(prompts, n_steps=40, temperature=None,
+                        rng=jax.random.PRNGKey(1))[0]
+        )
+    else:
+        # B>1 routes to the scan in production (the kernel's per-stream
+        # loop loses there) — still pin the kernel's multi-stream parity
+        a = np.asarray(
+            tr._pallas_generate(prompts, 40, None, jax.random.PRNGKey(1))[0]
+        )
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    tr._decoders.clear()
+    b = np.asarray(
+        tr.generate(prompts, n_steps=40, temperature=None,
+                    rng=jax.random.PRNGKey(1))[0]
+    )
+    assert len(set(a[0, 16:].tolist())) > 1 or fln is False
+    assert np.array_equal(a, b)
+
+
+def test_pallas_transformer_gate(force_pallas):
+    from mimikit_tpu.ops.pallas_decode import supports_pallas_transformer
+
+    tr = _transformer()
+    assert supports_pallas_transformer(tr)
+    # framed-linear input (JukeBox-style conv IO) is out of kernel scope
+    io2 = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    srnn = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=io2)
+    )
+    assert not supports_pallas_transformer(srnn)
+    # sub-window prompts route to the KV-cache decoder, not the kernel
+    prompts = (np.random.randint(0, 32, (1, 16)).astype(np.int32),)
+    tr._ensure_params(prompts)
+    assert not tr._use_pallas_decode(1, 8, 40, argmax=True)
+    # an activation working set past scoped VMEM falls back to the scan
+    assert not tr._use_pallas_decode(1 << 16, 16, 40, argmax=True)
