@@ -495,7 +495,13 @@ class SampleRNN(ARMWithHidden):
         if mesh is None and self._use_pallas_decode(
             B, prior_t, n_steps, argmax=temperature is None
         ):
-            return self._pallas_generate(prompts, n_steps, temperature, rng)
+            from ..ops.pallas_decode import pallas_generate_or_fallback
+
+            out = pallas_generate_or_fallback(
+                self, prompts, n_steps, temperature, rng
+            )
+            if out is not None:
+                return out
         bufs = tuple(
             jnp.concatenate(
                 [p, jnp.zeros((B, n_steps) + p.shape[2:], p.dtype)], axis=1
@@ -516,7 +522,7 @@ class SampleRNN(ARMWithHidden):
         backend is a TPU (or MMK_PALLAS_DECODE=1 forces it, e.g. with
         interpret mode in tests), and everything fits the VMEM budget."""
         flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
-        if flag == "0":
+        if flag == "0" or getattr(self, "_pallas_disabled", False):
             return False
         from ..ops.pallas_decode import supports_pallas_decode
 

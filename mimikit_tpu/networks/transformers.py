@@ -479,7 +479,7 @@ class SimpleTransformer(_StatefulTransformerARM):
         import os
 
         flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
-        if flag == "0":
+        if flag == "0" or getattr(self, "_pallas_disabled", False):
             return False
         from ..ops.pallas_decode import supports_pallas_transformer
 
@@ -579,7 +579,13 @@ class SimpleTransformer(_StatefulTransformerARM):
         if Tp >= self.rf and self._use_pallas_decode(
             B, Tp, n_steps, argmax=argmax
         ):
-            return self._pallas_generate(prompts, n_steps, temperature, rng)
+            from ..ops.pallas_decode import pallas_generate_or_fallback
+
+            out = pallas_generate_or_fallback(
+                self, prompts, n_steps, temperature, rng
+            )
+            if out is not None:
+                return out
         if Tp >= self.rf:
             dec = self._make_window_decoder(B, Tp, n_steps, x.dtype, argmax)
             return (dec(self.params, x, rng, temp),)

@@ -624,7 +624,7 @@ class WaveNet(ARM):
         self, B: int, prior_t: int, n_steps: int, argmax: bool = True
     ) -> bool:
         flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
-        if flag == "0":
+        if flag == "0" or getattr(self, "_pallas_disabled", False):
             return False
         from ..ops.pallas_decode import supports_pallas_wavenet
 
@@ -703,7 +703,13 @@ class WaveNet(ARM):
         if self._use_pallas_decode(
             B, prior_t, n_steps, argmax=temperature is None
         ):
-            return self._pallas_generate(prompts, n_steps, temperature, rng)
+            from ..ops.pallas_decode import pallas_generate_or_fallback
+
+            out = pallas_generate_or_fallback(
+                self, prompts, n_steps, temperature, rng
+            )
+            if out is not None:
+                return out
         # warm-up reads an rf-window ending at prior_t - 1: left-pad short
         # prompts with zeros (static amount, sliced off afterwards)
         pad_left = max(0, self.rf + 1 - prior_t)

@@ -1085,3 +1085,31 @@ def make_transformer_pallas_decoder(
         return out_t.T  # (B, n_steps)
 
     return fn
+
+
+# -- runtime fallback ---------------------------------------------------------
+
+def pallas_generate_or_fallback(net, prompts, n_steps, temperature, rng):
+    """Run ``net._pallas_generate``; if the kernel fails at compile/run time
+    (an ungated Mosaic edge case on this backend), disable the fused path
+    for this net instance and return None so the caller falls through to
+    its scan decoder.  In forced interpret mode (tests pin kernel
+    semantics on CPU) failures re-raise instead of silently hiding bugs.
+    """
+    import os
+    import warnings
+
+    try:
+        return net._pallas_generate(prompts, n_steps, temperature, rng)
+    except Exception as e:  # noqa: BLE001 — any kernel failure routes to scan
+        if (
+            jax.default_backend() == "cpu"
+            and os.environ.get("MMK_PALLAS_DECODE") == "1"
+        ):
+            raise
+        warnings.warn(
+            f"fused pallas decode failed ({type(e).__name__}: {e}); "
+            "falling back to the scan decoder for this network"
+        )
+        net._pallas_disabled = True
+        return None

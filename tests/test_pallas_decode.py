@@ -248,3 +248,37 @@ def test_pallas_transformer_gate(force_pallas):
     assert not tr._use_pallas_decode(1, 8, 40, argmax=True)
     # an activation working set past scoped VMEM falls back to the scan
     assert not tr._use_pallas_decode(1 << 16, 16, 40, argmax=True)
+
+
+def test_pallas_runtime_failure_falls_back_to_scan(monkeypatch):
+    """A kernel that fails at compile/run time on device must disable the
+    fused path for that net and route the SAME call to the scan decoder."""
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "auto")
+    net = _net()
+    prompts = (np.random.randint(0, 32, (2, 16)).astype(np.int32),)
+    net._ensure_params(prompts)
+
+    def boom(*a, **k):
+        raise RuntimeError("mosaic said no")
+
+    monkeypatch.setattr(type(net), "_pallas_generate", boom)
+    # force the router into the pallas branch despite the CPU backend
+    monkeypatch.setattr(
+        type(net), "_use_pallas_decode",
+        lambda self, *a, **k: not getattr(self, "_pallas_disabled", False),
+    )
+    with pytest.warns(UserWarning, match="falling back to the scan"):
+        out = net.generate(prompts, n_steps=20, temperature=None)
+    assert np.asarray(out[0]).shape == (2, 36)
+    assert net._pallas_disabled
+
+    # forced interpret mode (how the parity tests run) re-raises instead
+    net2 = _net()
+    net2._ensure_params(prompts)
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "1")
+    monkeypatch.setattr(type(net2), "_pallas_generate", boom)
+    monkeypatch.setattr(
+        type(net2), "_use_pallas_decode", lambda self, *a, **k: True
+    )
+    with pytest.raises(RuntimeError, match="mosaic said no"):
+        net2.generate(prompts, n_steps=20, temperature=None)
