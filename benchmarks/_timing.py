@@ -31,16 +31,34 @@ def read_rtt(x, n: int = 4) -> float:
     return (time.time() - t0) / n
 
 
-def timeit(fn, *args, n: int = 5) -> float:
+def timeit(fn, *args, n: int = 5, min_seconds: float = 0.5) -> float:
     """Steady-state seconds per call: queue n async calls, fence once,
-    subtract the fence's own round-trip."""
+    subtract the fence's own round-trip.
+
+    The fence round-trip has millisecond-scale jitter, so a batch of calls
+    whose total device time is comparable to one round-trip measures noise
+    (and can even clamp to the floor, reporting absurd throughput).  ``n``
+    auto-scales until the timed region dominates the fence: the reported
+    value is trustworthy for ops from ~microseconds up."""
     out = fn(*args)  # compile + warm
     rtt = read_rtt(out)
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    fence(out)
-    return max((time.time() - t0 - rtt) / n, 1e-9)
+
+    def run(k):
+        t0 = time.time()
+        for _ in range(k):
+            o = fn(*args)
+        fence(o)
+        return time.time() - t0 - rtt
+
+    elapsed = run(n)
+    if elapsed < min_seconds:
+        # too fast to time against the fence's jitter: size one re-run so
+        # the timed region dominates (capped — per-dispatch host cost bounds
+        # how many calls are worth queueing)
+        per_call = max(elapsed / n, 1e-7)
+        n = min(max(n, int(min_seconds / per_call) + 1), 4096)
+        elapsed = run(n)
+    return max(elapsed / n, 1e-9)
 
 
 def write_bench_json(name: str, results: list) -> str:

@@ -120,6 +120,15 @@ def main():
         )
     )
     bench_net("samplernn3", srnn, io, batch_size=32, batch_length=2048)
+    srnn_bf16 = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(
+            frame_sizes=(16, 8, 8), hidden_dim=256, io_spec=io
+        )
+    )
+    bench_net(
+        "samplernn3_bf16", srnn_bf16, io, batch_size=32, batch_length=2048,
+        matmul_precision="bfloat16",
+    )
 
     io2 = mmk.IOSpec.mulaw_io(
         mmk.IOSpec.MuLawIOConfig(

@@ -258,14 +258,45 @@ class Config:
         return True, ""
 
 
+def _field_hints(cls: type) -> Dict[str, Any]:
+    """Resolved field annotations for ``cls``.
+
+    ``typing.get_type_hints`` raises when any annotation is an unresolvable
+    forward reference (common under ``from __future__ import annotations``
+    when the name is only imported for type checking).  Falling back to the
+    raw *string* annotations would silently disable tuple/enum/float
+    coercion — the reference's OmegaConf path always materializes declared
+    ``Tuple`` fields as tuples, so a loaded config must too.  Resolve
+    per-field instead, against each base's module globals plus the package
+    namespace, and keep whatever still fails as-is (no coercion for that
+    field only)."""
+    try:
+        return typing.get_type_hints(cls)
+    except Exception:
+        pass
+    pkg = sys.modules.get(_ROOT_PACKAGE)
+    extra = vars(pkg) if pkg is not None else {}
+    hints: Dict[str, Any] = {}
+    for base in reversed(cls.__mro__):
+        mod = sys.modules.get(base.__module__)
+        mod_globals = getattr(mod, "__dict__", {})
+        for name, ann in getattr(base, "__annotations__", {}).items():
+            if isinstance(ann, str):
+                try:
+                    ann = eval(  # noqa: S307 — class-authored annotations
+                        ann, {**vars(typing), **mod_globals, **extra}
+                    )
+                except Exception:
+                    pass
+            hints[name] = ann
+    return hints
+
+
 def _instantiate(cls: type, data: Dict[str, Any]):
     """Build ``cls(**data)``, coercing values to field annotations."""
     if not dtc.is_dataclass(cls):
         return cls(**data)
-    try:
-        hints = typing.get_type_hints(cls)
-    except Exception:
-        hints = {f.name: f.type for f in dtc.fields(cls)}
+    hints = _field_hints(cls)
     init_fields = {f.name for f in dtc.fields(cls) if f.init}
     kwargs = {}
     post_set = {}

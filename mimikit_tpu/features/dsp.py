@@ -105,6 +105,21 @@ def _frame(xp, y, n_fft: int, hop: int):
     """(..., n) -> (..., n_frames, n_fft) via strided window extraction."""
     n = y.shape[-1]
     n_frames = 1 + (n - n_fft) // hop
+    if xp is not np:
+        # TPU path: a (n_frames, n_fft) gather lowers to a slow generic
+        # gather on TPU.  Frame via hop-sized rows + k contiguous slices
+        # instead — pure reshapes/slices, which XLA fuses for free.
+        k = -(-n_fft // hop)  # ceil
+        rows_needed = n_frames + k - 1
+        pad_to = rows_needed * hop
+        if pad_to > n:
+            pad_width = [(0, 0)] * (y.ndim - 1) + [(0, pad_to - n)]
+            y = xp.pad(y, pad_width, mode="constant")
+        y_rows = y[..., :pad_to].reshape(*y.shape[:-1], rows_needed, hop)
+        wide = xp.concatenate(
+            [y_rows[..., s : s + n_frames, :] for s in range(k)], axis=-1
+        )  # (..., n_frames, k*hop)
+        return wide[..., :n_fft]
     idx = (
         np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
     )  # (n_frames, n_fft) — static, built host-side
@@ -131,22 +146,45 @@ def _istft_impl(xp, S, n_fft, hop, center, window, length=None):
     n_frames = S.shape[-2]
     out_len = n_fft + hop * (n_frames - 1)
 
-    # overlap-add via scatter-add on a static index map
-    idx = (
-        np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
-    ).reshape(-1)
-    flat = frames.reshape(*frames.shape[:-2], n_frames * n_fft)
     if xp is np:
+        # overlap-add via scatter-add on a static index map
+        idx = (
+            np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+        ).reshape(-1)
+        flat = frames.reshape(*frames.shape[:-2], n_frames * n_fft)
         out = np.zeros((*frames.shape[:-2], out_len), dtype=real_dtype)
         np.add.at(out, (..., idx), flat)
         wss = np.zeros(out_len, dtype=real_dtype)
         np.add.at(wss, idx, np.tile(w * w, n_frames))
     else:
-        out = xp.zeros((*frames.shape[:-2], out_len), dtype=real_dtype)
-        out = out.at[..., xp.asarray(idx)].add(flat)
-        wss = xp.zeros(out_len, dtype=real_dtype).at[xp.asarray(idx)].add(
-            xp.tile(w * w, n_frames)
-        )
+        # TPU path: scatter-add serializes on TPU (and GLA runs this 33x per
+        # call).  Overlap-add densely instead: split each frame into k
+        # hop-sized segments; segment s of frame j lands at row j+s of a
+        # (n_frames + k - 1, hop) row grid, so the whole OLA is k shifted
+        # pads summed together — all fusable elementwise work.
+        k = -(-n_fft // hop)  # ceil
+        if k * hop > n_fft:
+            pad_width = [(0, 0)] * (frames.ndim - 1) + [(0, k * hop - n_fft)]
+            frames = xp.pad(frames, pad_width, mode="constant")
+        segs = frames.reshape(*frames.shape[:-1], k, hop)  # (..., T, k, hop)
+        rows_total = n_frames + k - 1
+        lead = [(0, 0)] * (frames.ndim - 2)
+        out_rows = sum(
+            xp.pad(
+                segs[..., s, :], lead + [(s, k - 1 - s), (0, 0)], mode="constant"
+            )
+            for s in range(k)
+        )  # (..., rows_total, hop)
+        out = out_rows.reshape(*frames.shape[:-2], rows_total * hop)[..., :out_len]
+        # squared-window overlap is static — build it host-side, embed as
+        # a constant instead of a second in-graph scatter
+        idx = (
+            np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+        ).reshape(-1)
+        w_np = get_window(window, n_fft).astype(np.dtype(str(real_dtype)))
+        wss_np = np.zeros(out_len, dtype=np.dtype(str(real_dtype)))
+        np.add.at(wss_np, idx, np.tile(w_np * w_np, n_frames))
+        wss = xp.asarray(wss_np)
     # normalize by squared-window overlap where non-zero (threshold at the
     # dtype's tiny, like librosa — edge samples with minuscule but non-zero
     # window coverage must still be recovered exactly)

@@ -430,10 +430,11 @@ class TrainARMLoop:
                         leave=False,
                         mininterval=1.0,
                     )
-                    for group in self._dispatch_groups(cfg):
-                        idxs = jnp.asarray(
-                            np.asarray(group, np.int32)
-                        )  # (K, B): ONE upload per dispatch
+                    for idxs in self._epoch_index_uploads(cfg):
+                        # (K, B) device array; all same-shape groups of the
+                        # epoch went up in ONE stacked transfer (a transfer
+                        # costs a full round trip through a remote-device
+                        # tunnel, so per-dispatch uploads serialize the loop)
                         K, B = int(idxs.shape[0]), int(idxs.shape[1])
                         if n_batches == 0 or B != last_B:
                             hidden, metric0 = self._fused_shapes(B)
@@ -498,9 +499,10 @@ class TrainARMLoop:
                             self.metrics.check_loss(float(d["loss"]))
                 self.net.params = params
                 if metric_sums is not None:
-                    avgs = {
-                        k: float(v) / n_batches for k, v in metric_sums.items()
-                    }
+                    # ONE device read for all metrics (per-key float() would
+                    # pay one round trip each)
+                    sums = jax.device_get(metric_sums)
+                    avgs = {k: float(v) / n_batches for k, v in sums.items()}
                     self.metrics.check_loss(avgs.get("loss", 0.0))
                     self.metrics.log_output(avgs)
                 self.metrics.flush_epoch(epoch, logger=self._loss_logger())
@@ -549,6 +551,30 @@ class TrainARMLoop:
             group.append(np.asarray(idx))
         if group:
             yield group
+
+    def _epoch_index_uploads(self, cfg):
+        """Yield the epoch's (K, B) dispatch index arrays as device arrays,
+        uploading all same-shape groups in ONE stacked host->device transfer
+        (then slicing on device, which is async and latency-free)."""
+        groups = [
+            np.asarray(g, np.int32) for g in self._dispatch_groups(cfg)
+        ]
+        slots: dict = {}
+        by_shape: dict = {}
+        for i, a in enumerate(groups):
+            by_shape.setdefault(a.shape, []).append(i)
+        for shape, members in by_shape.items():
+            if len(members) == 1:
+                slots[members[0]] = (jnp.asarray(groups[members[0]]), None)
+            else:
+                stacked = jnp.asarray(
+                    np.stack([groups[i] for i in members])
+                )
+                for j, i in enumerate(members):
+                    slots[i] = (stacked, j)
+        for i in range(len(groups)):
+            arr, j = slots[i]
+            yield arr if j is None else arr[j]
 
     def _fused_shapes(self, batch_size: int):
         """Shape-level (hidden, metric) templates for the fused step —

@@ -102,3 +102,21 @@ def test_every_network_config_roundtrips():
         clone = mmk.Config.deserialize(cfg.serialize())
         assert type(clone) is type(cfg), type(cfg).__name__
         assert clone.serialize() == cfg.serialize(), type(cfg).__name__
+
+
+def test_deserialized_tuples_stay_tuples():
+    """Tuple-annotated fields must materialize as tuples after deserialize
+    (the reference's OmegaConf structured configs do), even though the
+    networks' Config classes carry forward-ref string annotations that
+    typing.get_type_hints alone cannot resolve."""
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    cfg = mmk.SampleRNN.Config(frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=io)
+    clone = mmk.Config.deserialize(cfg.serialize())
+    assert clone.frame_sizes == (8, 4, 2)
+    assert isinstance(clone.frame_sizes, tuple)
+    wn = mmk.Config.deserialize(
+        mmk.WaveNet.Config(io_spec=io, blocks=(3, 2), dims_dilated=(16,)).serialize()
+    )
+    assert isinstance(wn.blocks, tuple) and isinstance(wn.dims_dilated, tuple)
+    # user code appends to these after loading a checkpoint
+    assert clone.frame_sizes + (2,) == (8, 4, 2, 2)
