@@ -19,24 +19,48 @@ CALIBRATED_F32_FLOPS = 105e12
 
 
 def bench_net(name, net, io, batch_size, batch_length, n_steps=20,
-              matmul_precision=None):
+              matmul_precision=None, samples_per_item=1):
     import jax
     import jax.numpy as jnp
     import optax
 
     rf = net.rf
-    q = io.inputs[0].elem_type.size
-    x = jnp.asarray(
-        np.random.randint(0, q, (batch_size, rf + batch_length)), jnp.int32
-    )
-    if name.startswith("wavenet"):
-        y = jnp.asarray(
-            np.random.randint(0, q, (batch_size, batch_length + 1)), jnp.int32
-        )
-        x = x[:, : rf + batch_length]
+    import mimikit_tpu as mmk
+    from mimikit_tpu.features.functionals import Discrete
+
+    et = io.inputs[0].elem_type
+    # shapes mirror each family's train_batch contract: SampleRNN/WaveNet
+    # read rf extra history; WaveNet (incl. frame-domain "freqnet") emits
+    # one step beyond the target window; seq2seq/transformer read exactly
+    # batch_length items
+    if isinstance(net, mmk.WaveNet):
+        target_extra, in_len = 1, rf + batch_length
+    elif isinstance(net, mmk.SampleRNN):
+        target_extra, in_len = 0, rf + batch_length
     else:
+        target_extra, in_len = 0, batch_length
+    if isinstance(et, Discrete):
+        q = et.size
+        x = jnp.asarray(
+            np.random.randint(0, q, (batch_size, in_len)), jnp.int32
+        )
         y = jnp.asarray(
-            np.random.randint(0, q, (batch_size, batch_length)), jnp.int32
+            np.random.randint(
+                0, q, (batch_size, batch_length + target_extra)
+            ),
+            jnp.int32,
+        )
+    else:
+        # frame-domain net: float (B, T, F) magnitude frames
+        F = et.size
+        x = jnp.asarray(
+            np.random.uniform(0, 1, (batch_size, in_len, F)), jnp.float32
+        )
+        y = jnp.asarray(
+            np.random.uniform(
+                0, 1, (batch_size, batch_length + target_extra, F)
+            ),
+            jnp.float32,
         )
     net.init_params(batch_size=batch_size, batch_length=batch_length)
     loss_fn = io.loss_fn
@@ -81,7 +105,7 @@ def bench_net(name, net, io, batch_size, batch_length, n_steps=20,
         params, opt_state, loss = step(params, opt_state, (x,), (y,), rng)
     fence(loss)
     dt = max((time.time() - t0 - rtt) / n_steps, 1e-9)
-    samples_per_sec = batch_size * batch_length / dt
+    samples_per_sec = batch_size * batch_length * samples_per_item / dt
     entry = {
         "metric": f"{name}_train_samples_per_sec",
         "value": round(samples_per_sec, 1),
@@ -152,6 +176,51 @@ def main():
         "wavenet10_bf16", wn2, io2, batch_size=8, batch_length=4096,
         matmul_precision="bfloat16",
     )
+
+    # frame-domain zoo: FreqNet (WaveNet over magnitude frames) + seq2seq
+    # LSTM, the two magspec_io workloads from BASELINE.json config #3
+    io_mag = mmk.IOSpec.magspec_io(
+        mmk.IOSpec.MagSpecIOConfig(
+            sr=16000, n_fft=2048, hop_length=512, activation="Identity"
+        )
+    )
+    freqnet = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io_mag, kernel_sizes=(2,), blocks=(3,),
+            dims_dilated=(1024,), residuals_dim=None, skips_dim=None,
+            groups=4, pad_side=0,
+        )
+    )
+    bench_net(
+        "freqnet_frames", freqnet, io_mag, batch_size=16, batch_length=64,
+        samples_per_item=512,
+    )
+    io_mag2 = mmk.IOSpec.magspec_io(
+        mmk.IOSpec.MagSpecIOConfig(
+            sr=16000, n_fft=2048, hop_length=512, activation="Identity"
+        )
+    )
+    s2s = mmk.Seq2SeqLSTMNetwork.from_config(
+        mmk.Seq2SeqLSTMNetwork.Config(io_spec=io_mag2, model_dim=512, hop=8)
+    )
+    bench_net(
+        "seq2seq_frames", s2s, io_mag2, batch_size=32, batch_length=8,
+        samples_per_item=512,
+    )
+
+    io3 = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            sr=16000, q_levels=256, mlp_dim=128, input_module_type="embedding"
+        )
+    )
+    tr = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=io3, model_dim=256, n_heads=8, feedforward_dim=1024,
+            num_layers=8, rf=512, input_dropout=0.0,
+        )
+    )
+    bench_net("transformer8l", tr, io3, batch_size=8, batch_length=512)
+
     bench_loop_level()
     from _timing import write_bench_json
 
