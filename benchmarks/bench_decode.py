@@ -104,6 +104,33 @@ def main():
         results.append(entry)
         print(json.dumps(entry))
 
+    # streaming latency: 100 ms audio chunks from the state-carrying stream
+    # (the serving path — loops/streaming.py).  Reported as wall ms per
+    # 1600-sample chunk and the realtime factor that implies.
+    import itertools
+    import mimikit_tpu as mmk  # noqa: F811
+
+    os.environ["MMK_PALLAS_DECODE"] = "auto"
+    chunk = 1600
+    for name, B in (("stream_b1", 1), ("stream_b64", 64)):
+        prompts = (np.random.randint(0, 256, (B, 32)).astype(np.int32),)
+        it = mmk.stream_tokens(srnn, prompts, chunk, temperature=0.9)
+        next(it)  # compile + warm
+        t0 = time.time()
+        n_chunks = 20
+        for _ in range(n_chunks):
+            next(it)  # host numpy chunk: arrival == completion
+        per_chunk = (time.time() - t0) / n_chunks
+        entry = {
+            "metric": f"samplernn3_{name}_ms_per_100ms_chunk",
+            "value": round(per_chunk * 1e3, 2),
+            "unit": "ms",
+            "vs_baseline": round(0.1 / per_chunk, 2),
+            "x_realtime_per_stream": round(0.1 / per_chunk, 2),
+        }
+        results.append(entry)
+        print(json.dumps(entry))
+
     path = write_bench_json("decode", results)
     print(f"# backend={jax.default_backend()} wrote {path}", file=sys.stderr)
 

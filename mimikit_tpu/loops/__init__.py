@@ -5,3 +5,4 @@ from .generate import *
 from .train_loops import *
 from .beta_scheduler import *
 from .device_loader import *
+from .streaming import *

@@ -1,0 +1,85 @@
+"""Unbounded streaming generation in bounded-latency chunks.
+
+The reference's long-form path (``generate_chunks.py``, reference
+``loops/generate_chunks.py:39-57``) loops whole ``GenerateLoopV2`` runs,
+re-feeding the tail of each chunk as the next prompt.  Here streaming is a
+first-class serving surface:
+
+* ``stream_tokens(net, prompts, chunk_steps)`` yields ``(B, chunk_steps)``
+  token/frame arrays forever (the caller breaks out).  Networks that expose
+  a fused state-carrying decoder (``SampleRNN.stream``) continue EXACTLY —
+  the concatenated stream is token-identical to one long decode, because
+  hidden state and sample windows are carried across kernel calls on-chip.
+* Other networks fall back to receptive-field window re-feeding: exact for
+  nets whose decode state is fully window-determined (WaveNet,
+  transformers), and the reference's own chunked-generation approximation
+  for stateful RNNs.
+* ``stream_audio(...)`` additionally applies the IOSpec target's inverse
+  transform per chunk (mu-law expand / GLA), yielding float audio.
+"""
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["stream_tokens", "stream_audio"]
+
+
+def _refeed_stream(net, prompt, chunk_steps: int, temperature, rng):
+    import jax
+    import jax.numpy as jnp
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    window = int(net.rf) + 1
+    buf = jnp.asarray(prompt)
+    while True:
+        rng, sub = jax.random.split(rng)
+        out = net.generate(
+            (buf,), n_steps=chunk_steps, temperature=temperature, rng=sub
+        )[0]
+        new = out[:, buf.shape[1] :]
+        yield new
+        buf = out[:, -window:]
+
+
+def stream_tokens(
+    net,
+    prompts: Tuple,
+    chunk_steps: int,
+    temperature=None,
+    rng=None,
+) -> Iterator:
+    """Yield ``(B, chunk_steps)`` generated items forever.
+
+    Dispatches to ``net.stream`` when the network implements an exact
+    state-carrying stream (SampleRNN's fused chunked decoder); otherwise
+    re-feeds the last ``rf + 1`` outputs as the next prompt — identical
+    to the reference's chunked generation semantics.
+    """
+    if hasattr(net, "stream"):
+        yield from net.stream(
+            prompts, chunk_steps, temperature=temperature, rng=rng
+        )
+        return
+    yield from _refeed_stream(net, prompts[0], chunk_steps, temperature, rng)
+
+
+def stream_audio(
+    net,
+    prompts: Tuple,
+    chunk_steps: int,
+    temperature=None,
+    rng=None,
+    inv=None,
+) -> Iterator[np.ndarray]:
+    """Like :func:`stream_tokens` but each chunk is inverse-transformed to
+    float audio (host numpy) with the IOSpec target's ``inv`` —
+    MuLawExpand for discrete-audio models, GLA for magspec models."""
+    if inv is None:
+        inv = net.config.io_spec.targets[0].inv
+    for chunk in stream_tokens(
+        net, prompts, chunk_steps, temperature=temperature, rng=rng
+    ):
+        yield np.asarray(inv(np.asarray(chunk)))

@@ -671,6 +671,93 @@ class SampleRNN(ARMWithHidden):
         tokens = self._decoders[key](self.params, prompt, rng, temp)
         return (jnp.concatenate([prompt, tokens.astype(prompt.dtype)], axis=1),)
 
+    def stream(self, prompts: Tuple, chunk_steps: int, temperature=None,
+               rng=None):
+        """Unbounded generation: yield ``(B, chunk_steps)`` token chunks
+        forever, continuing EXACTLY across chunks.
+
+        When the fused chunked Pallas decoder is eligible, the decode state
+        (sample window, LSTM carries, tier caches) is carried across kernel
+        calls on-chip, so the concatenated stream equals one long decode
+        token-for-token.  Otherwise falls back to rf-window re-feeding (the
+        reference's chunked-generation semantics, which drops RNN hidden at
+        chunk boundaries)."""
+        prompt = jnp.asarray(prompts[0])
+        B, prior_t = prompt.shape
+        argmax = temperature is None
+        if rng is None:
+            rng = self.next_rng()
+        usable = (
+            prior_t >= self.rf
+            and self._use_pallas_decode(B, prior_t, chunk_steps, argmax=argmax)
+        )
+        if not usable:
+            from ..loops.streaming import _refeed_stream
+
+            yield from _refeed_stream(
+                self, prompt, chunk_steps, temperature, rng
+            )
+            return
+
+        from ..ops.pallas_decode import (
+            make_samplernn_pallas_chunked,
+            samplernn_weight_pack,
+        )
+
+        rf = self.rf
+        n_head_dense = 0
+        core = self.params["outputs_0"]["estimator"]["core"]
+        while f"Dense_{n_head_dense}" in core:
+            n_head_dense += 1
+        t_mod = self.config.io_spec.targets[0].module
+        q = self.config.io_spec.inputs[0].elem_type.size
+        fs = tuple(self.frame_sizes)
+        C = min(chunk_steps, self._pallas_chunk_for(B, prior_t, chunk_steps))
+        dec = make_samplernn_pallas_chunked(
+            fs,
+            tuple(self.module.up_factors),
+            self._config.hidden_dim,
+            q,
+            n_head_dense,
+            float(t_mod.min_temperature),
+            B,
+            prior_t,
+            C,
+            argmax,
+            interpret=jax.default_backend() == "cpu",
+        )
+        run = jax.jit(dec)
+        w = samplernn_weight_pack(self.params, fs)
+        temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        seed0 = int(
+            jax.random.randint(rng, (), 0, np.iinfo(np.int32).max // 2)
+        )
+        prompt_T = prompt.astype(jnp.int32).T
+        state = dec.init_state()
+        state[0] = prompt[:, :rf].astype(jnp.int32)
+        t_abs, k = rf, 0
+        buf = np.zeros((B, 0), np.int32)
+        while True:
+            out_T, state = run(
+                w,
+                prompt_T,
+                jnp.asarray(seed0 + k, jnp.int32),
+                temp,
+                jnp.asarray(t_abs, jnp.int32),
+                state,
+            )
+            new = np.asarray(out_T).T  # (B, C)
+            drop = max(0, prior_t - t_abs)  # forced prompt warm-up region
+            if drop:
+                new = new[:, drop:]
+            t_abs += C
+            k += 1
+            if new.shape[1]:
+                buf = np.concatenate([buf, new], axis=1)
+            while buf.shape[1] >= chunk_steps:
+                yield buf[:, :chunk_steps]
+                buf = buf[:, chunk_steps:]
+
     # -- step-wise parity API (reference semantics, used by tests/loops) ----
     def before_generate(self, prompts: Tuple, batch_index: int) -> None:
         B = np.shape(prompts[0])[0]

@@ -311,3 +311,17 @@ def test_fsdp_training_runs(tmp_path):
     import os
 
     assert "epoch=1.ckpt" in os.listdir(os.path.join(str(tmp_path), loop.hash_))
+
+
+def test_sequence_parallel_transformer_step_matches_single_device():
+    """The dryrun's sp phase as a test: transformer training step with the
+    time axis sharded over 'model' must match the single-device step."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    g._dryrun_sequence_parallel(8)

@@ -1,0 +1,103 @@
+"""Streaming generation: bounded-latency chunks, exact continuation.
+
+The fused SampleRNN stream carries decode state across kernel calls, so the
+concatenated chunks must be token-identical to one long decode.  WaveNet's
+window-refeed fallback is also exact because its decode state is fully
+determined by the last rf samples.
+"""
+import itertools
+import os
+
+import numpy as np
+import pytest
+
+import mimikit_tpu as mmk
+
+
+def _mulaw_io(q=64, mlp=16, emb=False):
+    kw = dict(sr=16000, q_levels=q, mlp_dim=mlp)
+    if emb:
+        kw["input_module_type"] = "embedding"
+    return mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(**kw))
+
+
+def test_samplernn_stream_matches_long_decode_exactly(monkeypatch):
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "1")  # interpret-mode kernel
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(
+            frame_sizes=(4, 2, 2), hidden_dim=16, io_spec=_mulaw_io()
+        )
+    )
+    net.seed(0)
+    B, prior_t, chunk = 2, 8, 16
+    n_chunks = 3
+    prompt = np.random.RandomState(0).randint(
+        0, 64, (B, prior_t)
+    ).astype(np.int32)
+    net.init_params(batch_size=B, batch_length=32)
+
+    import jax
+
+    rng = jax.random.PRNGKey(7)
+    chunks = list(
+        itertools.islice(
+            net.stream((prompt,), chunk, temperature=None, rng=rng), n_chunks
+        )
+    )
+    assert all(c.shape == (B, chunk) for c in chunks)
+    streamed = np.concatenate(chunks, axis=1)
+
+    long = np.asarray(
+        net.generate(
+            (prompt,), n_steps=n_chunks * chunk, temperature=None, rng=rng
+        )[0]
+    )[:, prior_t:]
+    np.testing.assert_array_equal(streamed, long)
+
+
+def test_wavenet_refeed_stream_matches_long_decode_exactly():
+    net = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=_mulaw_io(emb=True), blocks=(3,), dims_dilated=(16,),
+            skips_dim=None, residuals_dim=None, pad_side=0,
+        )
+    )
+    net.seed(0)
+    B, chunk, n_chunks = 2, 12, 3
+    prior_t = net.rf + 1
+    prompt = np.random.RandomState(1).randint(
+        0, 64, (B, prior_t)
+    ).astype(np.int32)
+    net.init_params(batch_size=B, batch_length=net.rf + 4)
+
+    chunks = list(
+        itertools.islice(
+            mmk.stream_tokens(net, (prompt,), chunk, temperature=None),
+            n_chunks,
+        )
+    )
+    streamed = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+    long = np.asarray(
+        net.generate((prompt,), n_steps=n_chunks * chunk, temperature=None)[0]
+    )[:, prior_t:]
+    np.testing.assert_array_equal(streamed, long)
+
+
+def test_stream_audio_yields_float_audio():
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(
+            frame_sizes=(4, 2, 2), hidden_dim=16, io_spec=_mulaw_io()
+        )
+    )
+    net.seed(0)
+    B, prior_t, chunk = 2, 8, 10
+    prompt = np.random.RandomState(2).randint(
+        0, 64, (B, prior_t)
+    ).astype(np.int32)
+    net.init_params(batch_size=B, batch_length=16)
+    first = next(
+        iter(mmk.stream_audio(net, (prompt,), chunk, temperature=0.9))
+    )
+    assert first.shape == (B, chunk)
+    assert first.dtype.kind == "f"
+    assert np.all(np.abs(first) <= 1.0 + 1e-6)
