@@ -16,6 +16,12 @@ round-1 failure mode (free-running collapse over the 36-sample tone
 period) was a training-schedule artifact: the uncapped 100x~4000-step
 schedule ran the tiny model far past the exposure-robust optimum.
 SampleRNN is the flagship and the default.
+
+``BENCH_NET=tiedae`` covers the autoencoder workload (BASELINE config
+#4): train the weight-tied conv encoder/decoder on the tone's magnitude
+frames, reconstruct, Griffin-Lim invert — passes at 439.5 Hz
+(final loss 0.039).  With that, every BASELINE.json model family has a
+falsifiable acoustic check on real hardware.
 """
 import json
 import os
@@ -69,6 +75,20 @@ def main():
         net = mmk.Seq2SeqLSTMNetwork.from_config(
             mmk.Seq2SeqLSTMNetwork.Config(io_spec=io, model_dim=256, hop=8)
         )
+    elif which == "tiedae":
+        # autoencoder path (BASELINE config #4): reconstruct magnitude
+        # frames through the weight-tied encoder/decoder, GLA inversion
+        io = mmk.IOSpec.magspec_io(
+            mmk.IOSpec.MagSpecIOConfig(
+                sr=sr, n_fft=1024, hop_length=256, activation="Identity"
+            ),
+            cfg.extractors[0],
+        )
+        net = mmk.TiedAE.from_config(
+            mmk.TiedAE.Config(
+                io_spec=io, kernel_sizes=(5,), dims=(256,)
+            )
+        )
     elif which == "transformer":
         io = mmk.IOSpec.mulaw_io(
             mmk.IOSpec.MuLawIOConfig(
@@ -93,9 +113,9 @@ def main():
                 frame_sizes=(16, 8, 8), hidden_dim=128, io_spec=io
             )
         )
-    batch_lengths = {"transformer": 512, "freqnet": 32, "seq2seq": 16}
-    epochs = {"transformer": 60, "freqnet": 10, "seq2seq": 10}
-    limits = {"freqnet": 200, "seq2seq": 200, "transformer": 400}
+    batch_lengths = {"transformer": 512, "freqnet": 32, "seq2seq": 16, "tiedae": 16}
+    epochs = {"transformer": 60, "freqnet": 10, "seq2seq": 10, "tiedae": 15}
+    limits = {"freqnet": 200, "seq2seq": 200, "transformer": 400, "tiedae": 200}
     train = mmk.TrainARMConfig(
         root_dir=os.path.join(tmp, "trainings"),
         batch_size=16,
@@ -110,14 +130,21 @@ def main():
         OUTPUT_TRAINING="",
         CHECKPOINT_TRAINING=False,
         trainer_kwargs={
-            "device_batching": which not in ("freqnet", "seq2seq")
+            "device_batching": which not in ("freqnet", "seq2seq", "tiedae")
         },
     )
     loop = mmk.TrainARMLoop.from_config(train, db, net)
     loop.run()
     final_loss = loop.metrics.averages().get("loss", float("nan"))
 
-    if which in ("freqnet", "seq2seq"):
+    if which == "tiedae":
+        # reconstruction, not AR generation: run the tone's frames through
+        # the autoencoder and invert with Griffin-Lim
+        sig_in = np.asarray(cfg.get(mode="r").signal[: 2 * sr])
+        frames = mmk.MagSpec(1024, 256)(sig_in.astype(np.float32))
+        rec = np.asarray(net.forward((frames[None],))[0][0])
+        audio = np.asarray(mmk.GLA(1024, 256, n_iter=32)(rec))
+    elif which in ("freqnet", "seq2seq"):
         # frame-domain generation: GenerateLoopV2 handles the magspec
         # transform and the Griffin-Lim inversion generically
         gen = mmk.GenerateLoopV2.from_config(

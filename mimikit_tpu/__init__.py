@@ -31,6 +31,15 @@ from .ui import *
 from .views import *
 from . import demos
 
+# opt-in persistent XLA compile cache: MMK_COMPILE_CACHE=1 (default dir) or
+# a directory path; no-op on the CPU backend (see utils.enable_compile_cache)
+import os as _os
+
+_cc = _os.environ.get("MMK_COMPILE_CACHE")
+if _cc and _cc != "0":
+    enable_compile_cache("~/.cache/mimikit_tpu_xla" if _cc == "1" else _cc)
+del _os
+
 
 def __getattr__(name):
     if name == "MMK_STYLE_SHEET":
