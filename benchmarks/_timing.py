@@ -58,6 +58,11 @@ def timeit(fn, *args, n: int = 5, min_seconds: float = 0.5) -> float:
         per_call = max(elapsed / n, 1e-7)
         n = min(max(n, int(min_seconds / per_call) + 1), 4096)
         elapsed = run(n)
+    if elapsed < 0.1 * rtt:
+        # still unresolvable against the fence round-trip even at the call
+        # cap: refuse to report a nonsense number — clamp to a tenth of the
+        # round-trip, making the result an explicit upper bound on speed
+        elapsed = 0.1 * rtt
     return max(elapsed / n, 1e-9)
 
 

@@ -107,9 +107,6 @@ def main():
     # streaming latency: 100 ms audio chunks from the state-carrying stream
     # (the serving path — loops/streaming.py).  Reported as wall ms per
     # 1600-sample chunk and the realtime factor that implies.
-    import itertools
-    import mimikit_tpu as mmk  # noqa: F811
-
     os.environ["MMK_PALLAS_DECODE"] = "auto"
     chunk = 1600
     for name, B in (("stream_b1", 1), ("stream_b64", 64)):

@@ -32,12 +32,29 @@ from .views import *
 from . import demos
 
 # opt-in persistent XLA compile cache: MMK_COMPILE_CACHE=1 (default dir) or
-# a directory path; no-op on the CPU backend (see utils.enable_compile_cache)
+# a directory path; no-op for the CPU platform (see utils.enable_compile_cache).
+# The platform test here reads config strings WITHOUT initializing a jax
+# backend — importing this package must not consume the "first jax use"
+# (scripts still need to be able to force CPU after import).
 import os as _os
 
 _cc = _os.environ.get("MMK_COMPILE_CACHE")
 if _cc and _cc != "0":
-    enable_compile_cache("~/.cache/mimikit_tpu_xla" if _cc == "1" else _cc)
+    import jax as _jax
+
+    _plat = (
+        getattr(_jax.config, "jax_platforms", None)
+        or _os.environ.get("JAX_PLATFORMS")
+        or ""
+    )
+    if _plat.split(",")[0] != "cpu":
+        _path = _os.path.expanduser(
+            "~/.cache/mimikit_tpu_xla" if _cc == "1" else _cc
+        )
+        _os.makedirs(_path, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _path)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    del _jax, _plat
 del _os
 
 

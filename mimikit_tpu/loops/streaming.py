@@ -10,12 +10,14 @@ first-class serving surface:
   a fused state-carrying decoder (``SampleRNN.stream``) continue EXACTLY —
   the concatenated stream is token-identical to one long decode, because
   hidden state and sample windows are carried across kernel calls on-chip.
-* Other networks fall back to receptive-field window re-feeding: exact for
-  nets whose decode state is fully window-determined (WaveNet,
-  transformers), and the reference's own chunked-generation approximation
-  for stateful RNNs.
+* Other ``generate``-capable networks fall back to receptive-field window
+  re-feeding: exact for nets whose decode state is fully
+  window-determined (WaveNet, transformers).  Models without a batch
+  ``generate`` (seq2seq encoder/decoder, autoencoders) are rejected with
+  a clear error — they run under ``GenerateLoopV2``/``EncodeDecodeLoop``.
 * ``stream_audio(...)`` additionally applies the IOSpec target's inverse
-  transform per chunk (mu-law expand / GLA), yielding float audio.
+  transform per chunk (mu-law expand; GLA for frame-domain nets like the
+  magspec WaveNet), yielding float audio.
 """
 from __future__ import annotations
 
@@ -30,6 +32,12 @@ def _refeed_stream(net, prompt, chunk_steps: int, temperature, rng):
     import jax
     import jax.numpy as jnp
 
+    if not callable(getattr(net, "generate", None)):
+        raise TypeError(
+            f"{type(net).__name__} has no batch `generate` — streaming "
+            "needs one (seq2seq/autoencoder models run under "
+            "GenerateLoopV2/EncodeDecodeLoop instead)"
+        )
     if rng is None:
         rng = jax.random.PRNGKey(0)
     window = int(net.rf) + 1
@@ -39,7 +47,9 @@ def _refeed_stream(net, prompt, chunk_steps: int, temperature, rng):
         out = net.generate(
             (buf,), n_steps=chunk_steps, temperature=temperature, rng=sub
         )[0]
-        new = out[:, buf.shape[1] :]
+        # host numpy so chunk arrival == completion for every path (a lazy
+        # device array would make downstream latency accounting dishonest)
+        new = np.asarray(out[:, buf.shape[1] :])
         yield new
         buf = out[:, -window:]
 

@@ -678,11 +678,15 @@ class SampleRNN(ARMWithHidden):
 
         When the fused chunked Pallas decoder is eligible, the decode state
         (sample window, LSTM carries, tier caches) is carried across kernel
-        calls on-chip, so the concatenated stream equals one long decode
-        token-for-token.  Otherwise falls back to rf-window re-feeding (the
-        reference's chunked-generation semantics, which drops RNN hidden at
-        chunk boundaries)."""
+        calls on-chip: the argmax stream equals one long argmax decode
+        token-for-token (pinned in ``tests/test_streaming.py``).  Sampled
+        streams draw from the same tempered distribution but use an
+        independent per-chunk seed schedule, so their draws differ from a
+        single ``generate`` call's.  Without the fused path, falls back to
+        rf-window re-feeding (the reference's chunked-generation semantics,
+        which drops RNN hidden at chunk boundaries)."""
         prompt = jnp.asarray(prompts[0])
+        self._ensure_params((prompt,))
         B, prior_t = prompt.shape
         argmax = temperature is None
         if rng is None:
@@ -705,41 +709,50 @@ class SampleRNN(ARMWithHidden):
         )
 
         rf = self.rf
-        n_head_dense = 0
-        core = self.params["outputs_0"]["estimator"]["core"]
-        while f"Dense_{n_head_dense}" in core:
-            n_head_dense += 1
-        t_mod = self.config.io_spec.targets[0].module
-        q = self.config.io_spec.inputs[0].elem_type.size
         fs = tuple(self.frame_sizes)
         C = min(chunk_steps, self._pallas_chunk_for(B, prior_t, chunk_steps))
-        dec = make_samplernn_pallas_chunked(
-            fs,
-            tuple(self.module.up_factors),
-            self._config.hidden_dim,
-            q,
-            n_head_dense,
-            float(t_mod.min_temperature),
-            B,
-            prior_t,
-            C,
-            argmax,
-            interpret=jax.default_backend() == "cpu",
-        )
-        run = jax.jit(dec)
-        w = samplernn_weight_pack(self.params, fs)
+        key = ("stream", B, prior_t, C, argmax)
+        if key not in self._decoders:
+            n_head_dense = 0
+            core = self.params["outputs_0"]["estimator"]["core"]
+            while f"Dense_{n_head_dense}" in core:
+                n_head_dense += 1
+            t_mod = self.config.io_spec.targets[0].module
+            q = self.config.io_spec.inputs[0].elem_type.size
+            dec = make_samplernn_pallas_chunked(
+                fs,
+                tuple(self.module.up_factors),
+                self._config.hidden_dim,
+                q,
+                n_head_dense,
+                float(t_mod.min_temperature),
+                B,
+                prior_t,
+                C,
+                argmax,
+                interpret=jax.default_backend() == "cpu",
+            )
+
+            @jax.jit
+            def run(params, prompt_T, seed, temp, t0, state):
+                # weight pack INSIDE jit: one fused dispatch per chunk
+                w = samplernn_weight_pack(params, fs)
+                return dec(w, prompt_T, seed, temp, t0, state)
+
+            self._decoders[key] = (run, dec.init_state)
+        run, init_state = self._decoders[key]
         temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
         seed0 = int(
             jax.random.randint(rng, (), 0, np.iinfo(np.int32).max // 2)
         )
         prompt_T = prompt.astype(jnp.int32).T
-        state = dec.init_state()
+        state = init_state()
         state[0] = prompt[:, :rf].astype(jnp.int32)
         t_abs, k = rf, 0
         buf = np.zeros((B, 0), np.int32)
         while True:
             out_T, state = run(
-                w,
+                self.params,
                 prompt_T,
                 jnp.asarray(seed0 + k, jnp.int32),
                 temp,

@@ -101,3 +101,30 @@ def test_stream_audio_yields_float_audio():
     assert first.shape == (B, chunk)
     assert first.dtype.kind == "f"
     assert np.all(np.abs(first) <= 1.0 + 1e-6)
+
+
+def test_seq2seq_streaming_raises_clear_error():
+    io = mmk.IOSpec.magspec_io(
+        mmk.IOSpec.MagSpecIOConfig(sr=16000, n_fft=256, hop_length=64)
+    )
+    s2s = mmk.Seq2SeqLSTMNetwork.from_config(
+        mmk.Seq2SeqLSTMNetwork.Config(io_spec=io, model_dim=16, hop=4)
+    )
+    frames = np.random.rand(1, 4, 129).astype(np.float32)
+    with pytest.raises(TypeError, match="generate"):
+        next(iter(mmk.stream_tokens(s2s, (frames,), 4)))
+
+
+def test_stream_auto_initializes_params(monkeypatch):
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "1")
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(
+            frame_sizes=(4, 2, 2), hidden_dim=16, io_spec=_mulaw_io()
+        )
+    )
+    net.seed(0)
+    assert net.params is None
+    prompt = np.random.RandomState(3).randint(0, 64, (2, 8)).astype(np.int32)
+    chunk = next(iter(net.stream((prompt,), 8, temperature=None)))
+    assert chunk.shape == (2, 8)
+    assert net.params is not None
