@@ -549,8 +549,16 @@ class SampleRNN(ARMWithHidden):
     # once the batch is wide; below this single's one-dispatch decode wins.
     _PALLAS_CHUNKED_MIN_B = 64
 
+    @staticmethod
+    def _pallas_weight_dtype() -> str:
+        """'bf16' halves decode-weight VMEM and runs MXU-native bf16 dots
+        (f32 accumulate) — opt-in via MMK_PALLAS_BF16=1; logits then carry
+        bf16 rounding, so token-exactness vs the f32 scan no longer holds."""
+        return "bf16" if os.environ.get("MMK_PALLAS_BF16") == "1" else "f32"
+
     def _pallas_weight_bytes(self) -> int:
-        return 4 * sum(
+        per_el = 2 if self._pallas_weight_dtype() == "bf16" else 4
+        return per_el * sum(
             int(np.prod(l.shape))
             for l in jax.tree_util.tree_leaves(self.params)
         )
@@ -605,7 +613,9 @@ class SampleRNN(ARMWithHidden):
         B, prior_t = prompt.shape
         argmax = temperature is None
         mode = self._pallas_mode(B, prior_t, n_steps)
-        key = ("pallas", mode, B, prior_t, n_steps, argmax)
+        wd = self._pallas_weight_dtype()
+        pack_dtype = jnp.bfloat16 if wd == "bf16" else None
+        key = ("pallas", mode, B, prior_t, n_steps, argmax, wd)
         if key not in self._decoders:
             n_head_dense = 0
             core = self.params["outputs_0"]["estimator"]["core"]
@@ -627,12 +637,13 @@ class SampleRNN(ARMWithHidden):
             interp = jax.default_backend() == "cpu"
             if mode == "single":
                 dec = make_samplernn_pallas_decoder(
-                    *static, n_steps, argmax, interpret=interp
+                    *static, n_steps, argmax, interpret=interp,
+                    weight_dtype=wd,
                 )
 
                 @jax.jit
                 def run(params, prompt, rng, temp):
-                    w = samplernn_weight_pack(params, fs)
+                    w = samplernn_weight_pack(params, fs, pack_dtype)
                     seed = jax.random.randint(
                         rng, (), 0, np.iinfo(np.int32).max
                     )
@@ -644,12 +655,13 @@ class SampleRNN(ARMWithHidden):
                 C = self._pallas_chunk_for(B, prior_t, n_steps)
                 n_chunks = -(-n_it // C)
                 dec = make_samplernn_pallas_chunked(
-                    *static, C, argmax, interpret=interp
+                    *static, C, argmax, interpret=interp,
+                    weight_dtype=wd,
                 )
 
                 @jax.jit
                 def run(params, prompt, rng, temp):
-                    w = samplernn_weight_pack(params, fs)
+                    w = samplernn_weight_pack(params, fs, pack_dtype)
                     seed = jax.random.randint(
                         rng, (), 0, np.iinfo(np.int32).max // 2
                     )
@@ -711,7 +723,9 @@ class SampleRNN(ARMWithHidden):
         rf = self.rf
         fs = tuple(self.frame_sizes)
         C = min(chunk_steps, self._pallas_chunk_for(B, prior_t, chunk_steps))
-        key = ("stream", B, prior_t, C, argmax)
+        wd = self._pallas_weight_dtype()
+        pack_dtype = jnp.bfloat16 if wd == "bf16" else None
+        key = ("stream", B, prior_t, C, argmax, wd)
         if key not in self._decoders:
             n_head_dense = 0
             core = self.params["outputs_0"]["estimator"]["core"]
@@ -731,12 +745,13 @@ class SampleRNN(ARMWithHidden):
                 C,
                 argmax,
                 interpret=jax.default_backend() == "cpu",
+                weight_dtype=wd,
             )
 
             @jax.jit
             def run(params, prompt_T, seed, temp, t0, state):
                 # weight pack INSIDE jit: one fused dispatch per chunk
-                w = samplernn_weight_pack(params, fs)
+                w = samplernn_weight_pack(params, fs, pack_dtype)
                 return dec(w, prompt_T, seed, temp, t0, state)
 
             self._decoders[key] = (run, dec.init_state)

@@ -78,7 +78,7 @@ def supports_pallas_decode(net) -> bool:
     return True
 
 
-def samplernn_weight_pack(params, frame_sizes: Tuple[int, ...]):
+def samplernn_weight_pack(params, frame_sizes: Tuple[int, ...], dtype=None):
     """Flatten the SampleRNN param tree into the kernel's argument list.
 
     Layout per non-bottom tier i: W_in (fs_i, H), b_in (1, H),
@@ -86,6 +86,10 @@ def samplernn_weight_pack(params, frame_sizes: Tuple[int, ...]):
     W_up (H, up_i*H), b_up (1, up_i*H); then bottom W_bot (fs_-1, H),
     b_bot (1, H); then the head's dense chain W_k/b_k (last layer emits
     Q+1 logits, the extra one being the learned temperature).
+
+    ``dtype=jnp.bfloat16`` stores the weights half-width in VMEM and the
+    kernels run MXU-native bf16 x bf16 -> f32 dots (``MMK_PALLAS_BF16=1``)
+    — faster and half the weight bandwidth, at bf16 logit precision.
     """
     out = []
     n = len(frame_sizes)
@@ -113,6 +117,8 @@ def samplernn_weight_pack(params, frame_sizes: Tuple[int, ...]):
         d = core[f"Dense_{k}"]
         out += [d["kernel"], d["bias"][None, :]]
         k += 1
+    if dtype is not None:
+        out = [w.astype(dtype) for w in out]
     return out
 
 
@@ -129,12 +135,14 @@ def make_samplernn_pallas_decoder(
     n_steps: int,
     argmax: bool,
     interpret: bool = False,
+    weight_dtype: str = "f32",
 ):
     """Build the fused decode kernel for one static configuration.
 
     Returns ``fn(weights_list, prompt_i32, seed_i32, temp_f32) ->
     (B, n_steps) int32`` (generated tokens only; caller concatenates the
-    prompt back).
+    prompt back).  ``weight_dtype="bf16"`` expects bf16-packed weights and
+    runs MXU-native bf16 dots (f32 accumulate).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -146,6 +154,15 @@ def make_samplernn_pallas_decoder(
     rf = fs[0]
     n_tiers = len(fs)
     n_weights = 7 * (n_tiers - 1) + 2 + 2 * n_head_dense
+    wdt = jnp.bfloat16 if weight_dtype == "bf16" else jnp.float32
+
+    def wdot(a, w_ref):
+        return jnp.dot(
+            a.astype(wdt), w_ref[:], preferred_element_type=jnp.float32
+        )
+
+    def wbias(b_ref):
+        return b_ref[:].astype(jnp.float32)
 
     # prompt/out are TIME-MAJOR (T, B) and the tier caches SLOT-major
     # (up, B, H): Mosaic only allows dynamic indexing on non-lane
@@ -187,23 +204,14 @@ def make_samplernn_pallas_decoder(
                 @pl.when((t % f) == 0)
                 def _(i=i, f=f, W_in=W_in, b_in=b_in, Wi=Wi, Wh=Wh, b=b,
                       W_up=W_up, b_up=b_up):
-                    x = (
-                        jnp.dot(
-                            xf[:, rf - f :], W_in[:],
-                            preferred_element_type=jnp.float32,
-                        )
-                        + b_in[:]
-                    )
+                    x = wdot(xf[:, rf - f :], W_in) + wbias(b_in)
                     if i > 0:
                         idx = (t // f) % up[i - 1]
                         x = x + tout_refs[i - 1][pl.ds(idx, 1)][0]
                     gates = (
-                        jnp.dot(x, Wi[:], preferred_element_type=jnp.float32)
-                        + jnp.dot(
-                            h_refs[i][:], Wh[:],
-                            preferred_element_type=jnp.float32,
-                        )
-                        + b[:]
+                        wdot(x, Wi)
+                        + wdot(h_refs[i][:], Wh)
+                        + wbias(b)
                     )
                     gi = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
                     gf = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
@@ -213,37 +221,20 @@ def make_samplernn_pallas_decoder(
                     h2 = go * jnp.tanh(c2)
                     c_refs[i][:] = c2
                     h_refs[i][:] = h2
-                    y_up = (
-                        jnp.dot(h2, W_up[:], preferred_element_type=jnp.float32)
-                        + b_up[:]
-                    )  # (B, up_i * H)
+                    y_up = wdot(h2, W_up) + wbias(b_up)  # (B, up_i * H)
                     tout_refs[i][:] = jnp.swapaxes(
                         y_up.reshape(B, up[i], H), 0, 1
                     )
 
             # bottom tier: every step
-            x = (
-                jnp.dot(
-                    xf[:, rf - fs[-1] :], bot_W[:],
-                    preferred_element_type=jnp.float32,
-                )
-                + bot_b[:]
-            )
+            x = wdot(xf[:, rf - fs[-1] :], bot_W) + wbias(bot_b)
             idx = t % fs[-2]
             x = x + tout_refs[-1][pl.ds(idx, 1)][0]
 
             h = x
             for k in range(n_head_dense - 1):
-                h = mish(
-                    jnp.dot(
-                        h, head[2 * k][:], preferred_element_type=jnp.float32
-                    )
-                    + head[2 * k + 1][:]
-                )
-            logits = (
-                jnp.dot(h, head[-2][:], preferred_element_type=jnp.float32)
-                + head[-1][:]
-            )  # (B, Q + 1)
+                h = mish(wdot(h, head[2 * k]) + wbias(head[2 * k + 1]))
+            logits = wdot(h, head[-2]) + wbias(head[-1])  # (B, Q + 1)
             l_temp = jax.nn.sigmoid(logits[:, Q : Q + 1])
             logits = logits[:, :Q] / jnp.maximum(l_temp, min_temperature)
 
@@ -553,6 +544,7 @@ def make_samplernn_pallas_chunked(
     chunk: int,
     argmax: bool,
     interpret: bool = False,
+    weight_dtype: str = "f32",
 ):
     """Like ``make_samplernn_pallas_decoder`` but processes ``chunk`` steps
     per kernel call with the decode state (window, LSTM carries, tier
@@ -576,6 +568,15 @@ def make_samplernn_pallas_chunked(
     n_tiers = len(fs)
     n_weights = 7 * (n_tiers - 1) + 2 + 2 * n_head_dense
     n_state = 1 + 2 * (n_tiers - 1) + len(up)
+    wdt = jnp.bfloat16 if weight_dtype == "bf16" else jnp.float32
+
+    def wdot(a, w_ref):
+        return jnp.dot(
+            a.astype(wdt), w_ref[:], preferred_element_type=jnp.float32
+        )
+
+    def wbias(b_ref):
+        return b_ref[:].astype(jnp.float32)
 
     def kernel(t0_ref, temp_ref, seed_ref, prompt_ref, *refs):
         w_refs = refs[:n_weights]
@@ -623,23 +624,14 @@ def make_samplernn_pallas_chunked(
                 @pl.when((t % f) == 0)
                 def _(k=k, f=f, W_in=W_in, b_in=b_in, Wi=Wi, Wh=Wh, b=b,
                       W_up=W_up, b_up=b_up):
-                    x = (
-                        jnp.dot(
-                            xf[:, rf - f :], W_in[:],
-                            preferred_element_type=jnp.float32,
-                        )
-                        + b_in[:]
-                    )
+                    x = wdot(xf[:, rf - f :], W_in) + wbias(b_in)
                     if k > 0:
                         idx = (t // f) % up[k - 1]
                         x = x + tout_refs[k - 1][pl.ds(idx, 1)][0]
                     gates = (
-                        jnp.dot(x, Wi[:], preferred_element_type=jnp.float32)
-                        + jnp.dot(
-                            h_refs[k][:], Wh[:],
-                            preferred_element_type=jnp.float32,
-                        )
-                        + b[:]
+                        wdot(x, Wi)
+                        + wdot(h_refs[k][:], Wh)
+                        + wbias(b)
                     )
                     gi = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
                     gf = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
@@ -649,36 +641,19 @@ def make_samplernn_pallas_chunked(
                     h2 = go * jnp.tanh(c2)
                     c_refs[k][:] = c2
                     h_refs[k][:] = h2
-                    y_up = (
-                        jnp.dot(h2, W_up[:], preferred_element_type=jnp.float32)
-                        + b_up[:]
-                    )
+                    y_up = wdot(h2, W_up) + wbias(b_up)
                     tout_refs[k][:] = jnp.swapaxes(
                         y_up.reshape(B, up[k], H), 0, 1
                     )
 
-            x = (
-                jnp.dot(
-                    xf[:, rf - fs[-1] :], bot_W[:],
-                    preferred_element_type=jnp.float32,
-                )
-                + bot_b[:]
-            )
+            x = wdot(xf[:, rf - fs[-1] :], bot_W) + wbias(bot_b)
             idx = t % fs[-2]
             x = x + tout_refs[-1][pl.ds(idx, 1)][0]
 
             h = x
             for k in range(n_head_dense - 1):
-                h = mish(
-                    jnp.dot(
-                        h, head[2 * k][:], preferred_element_type=jnp.float32
-                    )
-                    + head[2 * k + 1][:]
-                )
-            logits = (
-                jnp.dot(h, head[-2][:], preferred_element_type=jnp.float32)
-                + head[-1][:]
-            )
+                h = mish(wdot(h, head[2 * k]) + wbias(head[2 * k + 1]))
+            logits = wdot(h, head[-2]) + wbias(head[-1])
             l_temp = jax.nn.sigmoid(logits[:, Q : Q + 1])
             logits = logits[:, :Q] / jnp.maximum(l_temp, min_temperature)
 

@@ -282,3 +282,20 @@ def test_pallas_runtime_failure_falls_back_to_scan(monkeypatch):
     )
     with pytest.raises(RuntimeError, match="mosaic said no"):
         net2.generate(prompts, n_steps=20, temperature=None)
+
+
+def test_pallas_bf16_weight_mode_decodes(force_pallas, monkeypatch):
+    """MMK_PALLAS_BF16=1 packs the weights bf16 and runs MXU-native bf16
+    dots; the argmax path must still produce valid tokens that agree with
+    the f32 kernel away from bf16-rounding near-ties."""
+    monkeypatch.setenv("MMK_PALLAS_BF16", "1")
+    net = _net()
+    prompts = (np.random.randint(0, 32, (2, 16)).astype(np.int32),)
+    net._ensure_params(prompts)
+    a = np.asarray(net.generate(prompts, n_steps=40, temperature=None)[0])
+    assert a.shape == (2, 56)
+    assert a.min() >= 0 and a.max() < 32
+    monkeypatch.setenv("MMK_PALLAS_BF16", "0")
+    b = np.asarray(net.generate(prompts, n_steps=40, temperature=None)[0])
+    agree = float((a == b).mean())
+    assert agree > 0.5, f"bf16 tokens diverged wholesale: {agree}"
