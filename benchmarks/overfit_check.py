@@ -20,8 +20,14 @@ SampleRNN is the flagship and the default.
 ``BENCH_NET=tiedae`` covers the autoencoder workload (BASELINE config
 #4): train the weight-tied conv encoder/decoder on the tone's magnitude
 frames, reconstruct, Griffin-Lim invert — passes at 439.5 Hz
-(final loss 0.039).  With that, every BASELINE.json model family has a
-falsifiable acoustic check on real hardware.
+(final loss 0.039).
+
+``BENCH_NET=ensemble`` covers BASELINE config #5: train a SampleRNN AND
+a WaveNet on the tone, then chain their checkpoints in one
+EnsembleGenerator stream (srnn 0.5 s -> wavenet 0.5 s -> srnn 0.5 s) —
+the chained output comes back at exactly 440.0 Hz.  With that, every
+BASELINE.json workload config has a falsifiable acoustic check on real
+hardware.
 """
 import json
 import os
@@ -29,6 +35,88 @@ import sys
 import tempfile
 
 import numpy as np
+
+
+def _ensemble_check(mmk, cfg, sr, freq, tmp):
+    """BASELINE config #5: train a SampleRNN and a WaveNet on the tone,
+    then chain their CHECKPOINTS in one EnsembleGenerator stream and check
+    the whole chained output still carries the tone."""
+
+    def train(net, name, batch_length, epochs, limit, tbptt=None):
+        train_cfg = mmk.TrainARMConfig(
+            root_dir=os.path.join(tmp, name),
+            batch_size=16,
+            batch_length=batch_length,
+            limit_train_batches=limit,
+            tbptt_chunk_length=tbptt,
+            max_epochs=epochs,
+            max_lr=2e-3,
+            every_n_epochs=100,
+            MONITOR_TRAINING=False,
+            OUTPUT_TRAINING="",
+            CHECKPOINT_TRAINING=True,
+        )
+        loop = mmk.TrainARMLoop.from_config(train_cfg, cfg.get(mode="r"), net)
+        loop.run()
+        return mmk.Checkpoint(
+            id=loop.hash_, epoch=epochs, root_dir=os.path.join(tmp, name)
+        )
+
+    io1 = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(sr=sr, q_levels=256, mlp_dim=128),
+        extractor=cfg.extractors[0],
+    )
+    srnn = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(16, 8, 8), hidden_dim=128, io_spec=io1)
+    )
+    ck_srnn = train(srnn, "srnn", 1024, 4, 400, tbptt=sr)
+
+    io2 = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            sr=sr, q_levels=256, mlp_dim=128, input_module_type="embedding"
+        ),
+        extractor=cfg.extractors[0],
+    )
+    wn = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io2, blocks=(8,), dims_dilated=(128,), skips_dim=128,
+            residuals_dim=128, pad_side=0,
+        )
+    )
+    ck_wn = train(wn, "wn", 2048, 6, 300)
+
+    prompt_n = sr // 4
+    prompt = np.asarray(cfg.get(mode="r").signal[:prompt_n])[None, :]
+    stream = iter(
+        [
+            dict(generator=ck_srnn, seconds=0.5, temperature=0.7),
+            dict(generator=ck_wn, seconds=0.5, temperature=0.7),
+            dict(generator=ck_srnn, seconds=0.5, temperature=0.7),
+        ]
+    )
+    ens = mmk.EnsembleGenerator(
+        prompt.astype(np.float32), max_seconds=1.75, base_sr=sr, stream=stream
+    )
+    audio = ens.run()[0, prompt_n:]
+
+    spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
+    freqs = np.fft.rfftfreq(len(audio), 1 / sr)
+    spec[0] = 0.0
+    dominant = float(freqs[spec.argmax()])
+    ok = abs(dominant - freq) < 25.0
+    print(
+        json.dumps(
+            {
+                "metric": "ensemble_tone_dominant_freq_hz",
+                "value": round(dominant, 1),
+                "unit": "Hz",
+                "vs_baseline": round(dominant / freq, 3),
+            }
+        )
+    )
+    print(f"# ensemble chained {freq}Hz ok={ok}", file=sys.stderr)
+    if not ok:
+        sys.exit(1)
 
 
 def main():
@@ -50,6 +138,9 @@ def main():
     )
     db = cfg.create(mode="w")
     which = os.environ.get("BENCH_NET", "samplernn")
+    if which == "ensemble":
+        _ensemble_check(mmk, cfg, sr, freq, tmp)
+        return
     if which == "freqnet":
         # frame-domain path: WaveNet over magnitude frames, GLA inversion
         io = mmk.IOSpec.magspec_io(
