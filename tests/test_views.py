@@ -129,6 +129,31 @@ def test_timestamps_selector_points():
     assert list(sel.positions_sec) == [0.25, 0.5]
 
 
+def test_timestamps_selector_interactive_fallback():
+    """Without peaksjs the selector is still interactive: slider scrubs the
+    cursor, buttons add/undo points, the waveform PNG re-renders."""
+    import numpy as np
+
+    from mimikit_tpu.views.timestamps_selector import TimeStampsSelector
+
+    t = np.arange(8000) / 8000.0
+    sel = TimeStampsSelector(np.sin(2 * np.pi * 5 * t).astype(np.float32),
+                             sr=8000)
+    w = sel.widget
+    assert w is not None and sel._peaks is None
+    img, controls, label = w.children
+    slider, add, undo = controls.children
+    png0 = img.value
+    assert png0[:8] == b"\x89PNG\r\n\x1a\n"
+    slider.value = 0.5          # scrub -> cursor moves, PNG re-renders
+    add.click()                 # add at cursor
+    assert sel.points == [0.5]
+    assert img.value != png0    # marker drawn
+    assert "0.500s" in label.value
+    undo.click()
+    assert sel.points == []
+
+
 def test_segment_selector_filter_cuts():
     import numpy as np
 
