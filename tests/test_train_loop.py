@@ -206,3 +206,40 @@ def test_fused_with_tbptt_matches_checkpointing(tmp_path):
     import os
 
     assert "epoch=1.ckpt" in os.listdir(os.path.join(str(tmp_path), loop.hash_))
+
+
+def test_device_batcher_sampling_jitter(tmp_path):
+    """cfg.sampling_jitter must reach the device batcher: jittered window
+    starts deviate from the unjittered schedule but stay in bounds
+    (mirrors the reference's serve(sampling_jitter=...) semantics)."""
+    import numpy as np
+
+    from .test_utils import make_db_config
+    from mimikit_tpu.loops.device_loader import make_train_loader
+
+    ds_cfg = make_db_config(tmp_path, filename="jit.h5")
+    db = ds_cfg.create(mode="w")
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16),
+        extractor=ds_cfg.extractors[0],
+    )
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(4, 2, 2), hidden_dim=16, io_spec=io)
+    )
+
+    def batches(jitter, seed=123):
+        cfg = mmk.TrainARMConfig(
+            batch_size=4, batch_length=32, sampling_jitter=jitter
+        )
+        loader = make_train_loader(db, net, cfg)
+        loader._rng = np.random.RandomState(seed)
+        return [np.asarray(b) for b in loader._index_batches()][:8]
+
+    plain = batches(0)
+    jittered = batches(8)
+    assert any(not np.array_equal(a, b) for a, b in zip(plain, jittered))
+    n_items = make_train_loader(
+        db, net, mmk.TrainARMConfig(batch_size=4, batch_length=32)
+    ).n_items
+    for b in jittered:
+        assert b.min() >= 0 and b.max() < n_items
