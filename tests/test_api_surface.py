@@ -1,11 +1,9 @@
 """The public namespace must stay a drop-in superset of the reference's.
 
 The inventory below is the union of every ``__all__`` in the reference
-package (202 names).  Two absences are deliberate and documented in
-PARITY.md: ``MultiSeq2SeqLSTM`` (legacy module the reference itself does
-not export from ``networks/__init__``) and ``derivative_torch`` (the
-torch-specific twin of ``derivative_np``; the native/jax equivalents
-live in ``ops/``).
+package (202 names).  One absence is deliberate and documented in
+PARITY.md: ``derivative_torch`` (the torch-specific twin of
+``derivative_np``; the native/jax equivalents live in ``ops/``).
 """
 import ast
 import os
@@ -14,7 +12,7 @@ import pytest
 
 import mimikit_tpu as mmk
 
-DOCUMENTED_ABSENCES = {"MultiSeq2SeqLSTM", "derivative_torch"}
+DOCUMENTED_ABSENCES = {"derivative_torch"}
 
 REFERENCE_PKG = "/root/reference/mimikit"
 
