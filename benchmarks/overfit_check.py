@@ -194,6 +194,22 @@ def main():
                 num_layers=4, rf=128, input_dropout=0.0,
             )
         )
+    elif which == "jukebox":
+        # hierarchical transformer tiers over mu-law samples — the last
+        # zoo family without an acoustic proof.  NOTE: JukeBox frames its
+        # inputs per tier, so the io must use the default framed-linear
+        # input module (embedding modules don't frame).
+        io = mmk.IOSpec.mulaw_io(
+            mmk.IOSpec.MuLawIOConfig(sr=sr, q_levels=256, mlp_dim=128),
+            extractor=cfg.extractors[0],
+        )
+        net = mmk.JukeBox.from_config(
+            mmk.JukeBox.Config(
+                io_spec=io, frame_sizes=(32, 16, 4), model_dim=128,
+                n_heads=8, feedforward_dim=256, num_layers=2, rf=128,
+                input_dropout=0.0,
+            )
+        )
     else:
         io = mmk.IOSpec.mulaw_io(
             mmk.IOSpec.MuLawIOConfig(sr=sr, q_levels=256, mlp_dim=128),
@@ -204,9 +220,12 @@ def main():
                 frame_sizes=(16, 8, 8), hidden_dim=128, io_spec=io
             )
         )
-    batch_lengths = {"transformer": 512, "freqnet": 32, "seq2seq": 16, "tiedae": 16}
-    epochs = {"transformer": 60, "freqnet": 10, "seq2seq": 10, "tiedae": 15}
-    limits = {"freqnet": 200, "seq2seq": 200, "transformer": 400, "tiedae": 200}
+    batch_lengths = {"transformer": 512, "jukebox": 512, "freqnet": 32,
+                     "seq2seq": 16, "tiedae": 16}
+    epochs = {"transformer": 60, "jukebox": 60, "freqnet": 10, "seq2seq": 10,
+              "tiedae": 15}
+    limits = {"freqnet": 200, "seq2seq": 200, "transformer": 400,
+              "jukebox": 400, "tiedae": 200}
     train = mmk.TrainARMConfig(
         root_dir=os.path.join(tmp, "trainings"),
         batch_size=16,
@@ -263,7 +282,7 @@ def main():
         prompts = (
             mmk.MuLawCompress(256)(train_sig)[None, :].astype(np.int32),
         )
-        temp = 0.7 if which != "transformer" else 0.35
+        temp = 0.35 if which in ("transformer", "jukebox") else 0.7
         out = net.generate(prompts, n_steps=sr, temperature=temp)
         audio = np.asarray(
             mmk.MuLawExpand(256)(np.asarray(out[0][0, sr // 4 :]))

@@ -262,7 +262,8 @@ class WaveGAN:
         )
 
 
-def make_wavegan_steps(gan: WaveGAN, g_opt, d_opt, gp_weight: float = 10.0):
+def make_wavegan_steps(gan: WaveGAN, g_opt, d_opt, gp_weight: float = 10.0,
+                       g_batch: int = 8):
     """Jitted WGAN-GP training pair.
 
     Returns ``(d_step, g_step)``; each takes and returns explicit
@@ -307,7 +308,7 @@ def make_wavegan_steps(gan: WaveGAN, g_opt, d_opt, gp_weight: float = 10.0):
         kz, ks = jax.random.split(key)
 
         def loss_fn(gp):
-            z = jax.random.normal(kz, (8, latent_dim))
+            z = jax.random.normal(kz, (g_batch, latent_dim))
             fake = gen.apply(gp, z, train=False)
             return -_d_apply(disc_params, fake, ks).mean()
 

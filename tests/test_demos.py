@@ -62,6 +62,29 @@ def test_freqnet_demo(wav_dir, monkeypatch):
     assert os.path.exists(os.path.join(loop.root_dir, "epoch=1.ckpt"))
 
 
+def test_wave_gan_demo(wav_dir, monkeypatch):
+    monkeypatch.chdir(wav_dir)
+    from mimikit_tpu.demos import wave_gan
+
+    gan = wave_gan.demo(
+        sources=(str(wav_dir / "tone.wav"),),
+        db_path=str(wav_dir / "wavegan.h5"),
+        n_steps=2,
+        n_critic=1,
+        batch_size=2,
+        out_dir=str(wav_dir / "gan-out"),
+        latent_dim=8,
+        model_size=2,
+        kernel_size=9,
+        t0=4,
+        up_sample=(2, 2, 2),
+        post_proc_filt_len=16,
+    )
+    assert gan.config.slice_length == 32
+    outs = sorted(os.listdir(str(wav_dir / "gan-out")))
+    assert len(outs) == 4 and outs[0].endswith(".wav")
+
+
 def test_generate_chunks(wav_dir, monkeypatch):
     monkeypatch.chdir(wav_dir)
     from mimikit_tpu.demos import srnn
