@@ -28,6 +28,14 @@ EnsembleGenerator stream (srnn 0.5 s -> wavenet 0.5 s -> srnn 0.5 s) —
 the chained output comes back at exactly 440.0 Hz.  With that, every
 BASELINE.json workload config has a falsifiable acoustic check on real
 hardware.
+
+``BENCH_NET=jukebox`` runs the hierarchical transformer tiers over
+mu-law samples.  ``BENCH_NET=poconet`` trains the phase-prediction net
+on STFT frames and inverts its free-run with the PREDICTED phases
+(direct ISTFT — no Griffin-Lim); ``BENCH_NET=multis2s`` autoencodes the
+tone's magnitude frames through the v1 seq2seq hierarchy's bottleneck.
+``BENCH_SMOKE=1`` shrinks the custom-loop variants to a mechanical
+end-to-end check (no acoustic claim).
 """
 import json
 import os
@@ -119,6 +127,192 @@ def _ensemble_check(mmk, cfg, sr, freq, tmp):
         sys.exit(1)
 
 
+def _report(name, audio, sr, freq, extra="", tol=25.0):
+    spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
+    freqs = np.fft.rfftfreq(len(audio), 1 / sr)
+    spec[0] = 0.0
+    dominant = float(freqs[spec.argmax()])
+    ok = abs(dominant - freq) < tol
+    print(
+        json.dumps(
+            {
+                "metric": name,
+                "value": round(dominant, 1),
+                "unit": "Hz",
+                "vs_baseline": round(dominant / freq, 3),
+            }
+        )
+    )
+    print(f"# {extra} target={freq}Hz ok={ok}", file=sys.stderr)
+    if not ok:
+        sys.exit(1)
+
+
+def _poconet_check(mmk, cfg, sr, freq):
+    """Train PocoNet on the tone's STFT frames, then free-run it
+    autoregressively and invert with the PREDICTED phases (direct ISTFT,
+    no Griffin-Lim) — the phase network is the thing under test."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mimikit_tpu.networks.poconet import extract_env, l1_loss_with_phs
+
+    n_fft, hop = 256, 64
+    smoke = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+    sig = np.asarray(cfg.get(mode="r").signal[:]).astype(np.float32)
+    P = np.asarray(mmk.STFT(n_fft=n_fft, hop_length=hop).np_func(sig))
+    S = (P[..., 0] * np.exp(1j * P[..., 1])).T  # (F, T) complex
+    env_np = extract_env(S)  # frames 1..T-2
+    mag, phs = P[1:-1, :, 0], P[1:-1, :, 1]
+    F = mag.shape[-1]
+
+    net = mmk.PocoNet.from_config(
+        mmk.PocoNet.Config(
+            input_dim=F, gate_dim=256, n_layers=(4,), dim1x1=64, dim2x3=64,
+            amp_env_dim=32, amp_gate_dim=256, hop_ratio=hop / n_fft,
+        )
+    )
+    rf = net.rf
+    W = rf + 16  # context + teacher-forced prediction span
+    net.init_params(batch_size=1, batch_length=W)
+    opt = optax.adam(2e-4)
+    opt_state = opt.init(net.params)
+    mag_j, phs_j, env_j = map(jnp.asarray, (mag, phs, env_np))
+
+    @jax.jit
+    def step(params, opt_state, idx):
+        def gather(z):
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice_in_dim(z, s, W, axis=0)
+            )(idx)
+
+        m, p, e = gather(mag_j), gather(phs_j), gather(env_j)
+
+        def loss_fn(params):
+            (pm, pp), _ = net.module.apply({"params": params}, (m, p, e), None, True)
+            return l1_loss_with_phs(
+                (pm[:, :-1], pp[:, :-1]), (m[:, rf:], p[:, rf:])
+            )["loss"]
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    n_steps, batch = (1500, 16) if not smoke else (3, 4)
+    params = net.params
+    loss = float("nan")
+    for i in range(n_steps):
+        idx = jnp.asarray(rng.integers(0, mag.shape[0] - W, batch))
+        params, opt_state, loss = step(params, opt_state, idx)
+    net.params = params
+    final_loss = float(loss)
+
+    # free-run: one jitted lax.scan carrying the (mag, phase) rf-window and
+    # the envelope follower's state (lev + last two env values)
+    n_gen = int(sr / hop) if not smoke else 8  # ~1 s of frames
+
+    @jax.jit
+    def free_run(params, m0, p0, e0, lev0, ep0, epp0):
+        def body(carry, _):
+            m, p, e, lev, e_prev, e_prev2 = carry
+            (pm, pp), _ = net.module.apply({"params": params}, (m, p, e), None, False)
+            nm, np_ = pm[:, -1:], pp[:, -1:]
+            x = 0.1 * jnp.sum(nm)  # extract_env's scaled frame level
+            coef = jnp.where(x > lev, 0.75, 0.1)
+            lev = lev + coef * (x - lev)
+            ne = jnp.stack([lev, 3.0 * (lev - e_prev2)])[None, None, :]
+            carry = (
+                jnp.concatenate([m[:, 1:], nm], axis=1),
+                jnp.concatenate([p[:, 1:], np_], axis=1),
+                jnp.concatenate([e[:, 1:], ne], axis=1),
+                lev, lev, e_prev,
+            )
+            return carry, (nm[0, 0], np_[0, 0])
+
+        _, (ms, ps) = jax.lax.scan(
+            body, (m0, p0, e0, lev0, ep0, epp0), None, length=n_gen
+        )
+        return ms, ps
+
+    m0 = jnp.asarray(mag[None, :rf])
+    p0 = jnp.asarray(phs[None, :rf])
+    e0 = jnp.asarray(env_np[None, :rf])
+    lev0 = jnp.asarray(env_np[rf - 1, 0])
+    ep0 = jnp.asarray(env_np[rf - 1, 0])
+    epp0 = jnp.asarray(env_np[rf - 2, 0])
+    ms, ps = free_run(net.params, m0, p0, e0, lev0, ep0, epp0)
+    frames = np.stack([np.asarray(ms), np.asarray(ps)], axis=-1)
+    audio = np.asarray(
+        mmk.ISTFT(n_fft=n_fft, hop_length=hop, window="hann").np_func(frames)
+    )
+    _report(
+        "poconet_tone_dominant_freq_hz", audio, sr, freq,
+        extra=f"final_loss={final_loss:.3f} (predicted-phase ISTFT, no GLA)",
+    )
+
+
+def _multis2s_check(mmk, cfg, sr, freq):
+    """Train the v1 seq2seq hierarchy to autoencode the tone's magnitude
+    frames through its hop**n_stages bottleneck; Griffin-Lim the
+    reconstruction."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    smoke = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+    sig = np.asarray(cfg.get(mode="r").signal[:]).astype(np.float32)
+    frames = np.asarray(mmk.MagSpec(1024, 256).np_func(sig))  # (T, F)
+    F = frames.shape[-1]
+    net = mmk.MultiSeq2SeqLSTM.from_config(
+        mmk.MultiSeq2SeqLSTM.Config(
+            io_dim=F, model_dim=256, hop=4, n_stages=2, with_sampler=False
+        )
+    )
+    W = net.rf * 2  # 32 frames per window
+    net.init_params(batch_size=1, batch_length=W)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(net.params)
+    frames_j = jnp.asarray(frames)
+
+    @jax.jit
+    def step(params, opt_state, idx):
+        x = jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(frames_j, s, W, axis=0)
+        )(idx)
+
+        def loss_fn(params):
+            (y,), _ = net.module.apply(
+                {"params": params}, (x,), None, True,
+                rngs={"sample": jax.random.PRNGKey(0)},
+            )
+            return jnp.abs(y - x).mean()
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    params, loss = net.params, float("nan")
+    for i in range(800 if not smoke else 3):
+        idx = jnp.asarray(rng.integers(0, frames.shape[0] - W, 16))
+        params, opt_state, loss = step(params, opt_state, idx)
+    net.params = params
+    final_loss = float(loss)
+
+    T_rec = (frames.shape[0] // W) * W
+    (rec,), _ = net.module.apply(
+        {"params": params}, (frames_j[None, :T_rec],), None, False,
+        rngs={"sample": jax.random.PRNGKey(0)},
+    )
+    audio = np.asarray(mmk.GLA(1024, 256, n_iter=32)(np.asarray(rec[0])))
+    _report(
+        "multis2s_tone_dominant_freq_hz", audio, sr, freq,
+        extra=f"final_loss={final_loss:.4f} (autoencoded frames, GLA)",
+    )
+
+
 def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from scipy.io import wavfile
@@ -140,6 +334,12 @@ def main():
     which = os.environ.get("BENCH_NET", "samplernn")
     if which == "ensemble":
         _ensemble_check(mmk, cfg, sr, freq, tmp)
+        return
+    if which == "poconet":
+        _poconet_check(mmk, cfg, sr, freq)
+        return
+    if which == "multis2s":
+        _multis2s_check(mmk, cfg, sr, freq)
         return
     if which == "freqnet":
         # frame-domain path: WaveNet over magnitude frames, GLA inversion
@@ -220,9 +420,15 @@ def main():
                 frame_sizes=(16, 8, 8), hidden_dim=128, io_spec=io
             )
         )
-    batch_lengths = {"transformer": 512, "jukebox": 512, "freqnet": 32,
+    # jukebox trains on windows shaped EXACTLY like its sliding decode
+    # window (inputs = batch_length + fs0 = 128 = JukeBox._window_len):
+    # the tier pyramid's effective context is window-bounded, so training
+    # on long windows under-weights the shallow-context positions decode
+    # actually runs at (measured: 98% deep-context accuracy but DC-collapse
+    # generation when trained at 512)
+    batch_lengths = {"transformer": 512, "jukebox": 96, "freqnet": 32,
                      "seq2seq": 16, "tiedae": 16}
-    epochs = {"transformer": 60, "jukebox": 60, "freqnet": 10, "seq2seq": 10,
+    epochs = {"transformer": 60, "jukebox": 30, "freqnet": 10, "seq2seq": 10,
               "tiedae": 15}
     limits = {"freqnet": 200, "seq2seq": 200, "transformer": 400,
               "jukebox": 400, "tiedae": 200}
@@ -282,7 +488,7 @@ def main():
         prompts = (
             mmk.MuLawCompress(256)(train_sig)[None, :].astype(np.int32),
         )
-        temp = 0.35 if which in ("transformer", "jukebox") else 0.7
+        temp = {"transformer": 0.35, "jukebox": 0.25}.get(which, 0.7)
         out = net.generate(prompts, n_steps=sr, temperature=temp)
         audio = np.asarray(
             mmk.MuLawExpand(256)(np.asarray(out[0][0, sr // 4 :]))

@@ -324,6 +324,14 @@ class _StatefulTransformerARM(ARM):
             return self._decoders[key]
         rf = self._window_len()
         module = self.module
+        # how far past the write position the refeed window reaches.  The
+        # flat transformer consumes every window token and predicts the
+        # next, so its window ends right before the write position (lead
+        # 0).  JukeBox's core slices its tiers so the final input token is
+        # never read in eval mode (it is the training target); its window
+        # must therefore lead by 1 so the LAST READ token is t-1 and the
+        # prediction lands on t (see JukeBox._decode_win_lead).
+        lead = getattr(self, "_decode_win_lead", 0)
 
         @jax.jit
         def run(params, x, sample_rng, temperature):
@@ -334,7 +342,9 @@ class _StatefulTransformerARM(ARM):
             def step(carry, t):
                 b, sk_rng = carry
                 sk_rng, sk = jax.random.split(sk_rng)
-                win = jax.lax.dynamic_slice_in_dim(b, t - rf, rf, axis=1)
+                win = jax.lax.dynamic_slice_in_dim(
+                    b, t - rf + lead, rf, axis=1
+                )
                 outs, _ = module.apply(
                     {"params": params},
                     (win,),
@@ -680,6 +690,21 @@ class JukeBoxCore(nn.Module):
 
 
 class JukeBox(_StatefulTransformerARM):
+    # The core's eval path predicts the target of the LAST BOTTOM FRAME,
+    # which ends one token before the input's end — the final input token
+    # is sliced away at every tier because in train mode it is the final
+    # target (the reference's ":-1 is surprising but right!",
+    # ``/root/reference/mimikit/networks/transformers.py:363-364``).
+    # Right for training — but the reference reuses that forward as its
+    # ``generate_step``, so each generated token is an estimate of the
+    # PREVIOUS position: generation feeds back stale predictions and
+    # collapses toward DC (measured: free-run output = true sequence
+    # shifted by one).  Divergence (bug fix): our decode window leads the
+    # write position by one, so the last token actually READ is t-1 and
+    # the prediction lands on t.  The never-read final window slot makes
+    # this exactly "train-mode forward with the unknown token appended".
+    _decode_win_lead = 1
+
     @dtc.dataclass
     class Config(NetworkConfig):
         io_spec: "IOSpec" = None

@@ -206,8 +206,12 @@ def test_jukebox_window_decode_matches_stepwise():
     assert np.array_equal(seq[:, :24], prompts[0])
 
     jb.eval()
+    # the decode window LEADS the write position by one: the core never
+    # reads the final window token (every tier slices it away — it is the
+    # training target), so the stepwise window for predicting token t is
+    # seq[t-rf+1 : t+1] and its last READ token is t-1
     for t in range(24, 32):
-        o = np.asarray(jb.forward((seq[:, t - 16 : t],), temperature=None))
+        o = np.asarray(jb.forward((seq[:, t - 15 : t + 1],), temperature=None))
         tok = (o[..., 0] if o.ndim > 2 else o[0]).reshape(2)
         assert np.array_equal(tok.astype(seq.dtype), seq[:, t]), t
 
@@ -215,3 +219,36 @@ def test_jukebox_window_decode_matches_stepwise():
     out2 = jb.generate((prompts[0][:, :6],), n_steps=4, temperature=0.9)
     assert np.asarray(out2[0]).shape == (2, 10)
     assert np.array_equal(np.asarray(out2[0])[:, :6], prompts[0][:, :6])
+
+
+def test_jukebox_decode_predicts_the_next_token():
+    """The eval forward must be a function of tokens[:-1] ONLY (the final
+    input token is the train-mode target and must never be read), and the
+    decode refeed must therefore lead the write position by one — the
+    reference reuses its train slicing in generate_step, which makes every
+    generated token an estimate of the PREVIOUS position (reference
+    ``transformers.py:363-364``); that lag collapses free-running audio
+    to DC (measured on a trained tone model)."""
+    jb = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=jb_io(), frame_sizes=(8, 4, 2), model_dim=16, n_heads=2,
+            feedforward_dim=32, num_layers=1, rf=16,
+        )
+    )
+    jb.seed(0)
+    jb.eval()
+    win = np.random.randint(0, 32, (2, 16)).astype(np.int32)
+    base = np.asarray(jb.forward((win,), temperature=None))
+    # changing the LAST window token must not change the prediction...
+    w2 = win.copy()
+    w2[:, -1] = (w2[:, -1] + 7) % 32
+    assert np.array_equal(
+        np.asarray(jb.forward((w2,), temperature=None)), base
+    )
+    # ...while changing the second-to-last (the newest token actually
+    # read) generally must
+    w3 = win.copy()
+    w3[:, -2] = (w3[:, -2] + 7) % 32
+    assert not np.array_equal(
+        np.asarray(jb.forward((w3,), temperature=None)), base
+    )
