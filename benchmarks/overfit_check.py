@@ -176,7 +176,7 @@ def _poconet_check(mmk, cfg, sr, freq):
     rf = net.rf
     W = rf + 16  # context + teacher-forced prediction span
     net.init_params(batch_size=1, batch_length=W)
-    opt = optax.adam(2e-4)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(2e-4))
     opt_state = opt.init(net.params)
     mag_j, phs_j, env_j = map(jnp.asarray, (mag, phs, env_np))
 

@@ -399,7 +399,9 @@ def l1_loss_with_phs(output: Tuple, target: Tuple):
     cd = jnp.cos(tgt_p) - jnp.cos(pred_p)
     sd = jnp.sin(tgt_p) - jnp.sin(pred_p)
     w = jnp.sqrt(tgt_m / norm + 0.01)
-    phserr = jnp.mean(jnp.sqrt((sd * w) ** 2 + (cd * w) ** 2))
+    # the epsilon keeps the 2-norm's gradient finite where sd == cd == 0
+    # (a perfectly predicted bin would otherwise NaN the whole step)
+    phserr = jnp.mean(jnp.sqrt((sd * w) ** 2 + (cd * w) ** 2 + 1e-12))
     L = jnp.abs(pred_m - tgt_m).sum(axis=(0, -1), keepdims=True)
     mag_loss = 100.0 * jnp.mean(L / norm)
     phs_loss = 100.0 * phserr

@@ -341,3 +341,63 @@ def test_seq2seq_import_requires_ref_compat():
     )
     with pytest.raises(ValueError, match="ref_compat"):
         mmk.seq2seq_params_from_state_dict(net, {})
+
+
+_JB_LAG = r"""
+import sys
+sys.path.insert(0, "__TESTDIR__")
+from reference_loader import install_stubs, import_reference
+install_stubs()
+rmmk = import_reference()
+import numpy as np
+import torch
+
+torch.manual_seed(0)
+io = rmmk.IOSpec.mulaw_io(rmmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+net = rmmk.JukeBox.from_config(rmmk.JukeBox.Config(
+    io_spec=io, frame_sizes=(8, 4, 2), model_dim=16, n_heads=2,
+    feedforward_dim=32, num_layers=1, dropout=0.0, rf=16))
+net.eval()
+rng = np.random.RandomState(7)
+win = rng.randint(0, 32, (2, 16)).astype(np.int64)
+win_last = win.copy(); win_last[:, -1] = (win_last[:, -1] + 7) % 32
+win_prev = win.copy(); win_prev[:, -2] = (win_prev[:, -2] + 7) % 32
+
+
+net.train()  # train-mode forward exposes the LOGITS generate_step
+             # samples from (same slicing, all positions)
+
+
+def step(w):
+    with torch.no_grad():
+        o = net((torch.from_numpy(w),))[0]
+    return o.numpy()[:, -1]  # last position = what generate_step uses
+
+
+base, last, prev = step(win), step(win_last), step(win_prev)
+np.savez("__OUT__", base=base, last=last, prev=prev)
+print("OK")
+"""
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference tree not mounted")
+def test_reference_jukebox_generate_step_ignores_newest_token(tmp_path):
+    """Evidence for PARITY divergence #6 from the reference's OWN code:
+    its ``JukeBox.generate_step`` (= train-mode forward, ``:-1`` slicing,
+    ``transformers.py:360-365,415-421``) is INSENSITIVE to the final
+    window token — each generated token estimates the PREVIOUS position,
+    which is why its free-running generation collapses (and why our
+    decode window leads the write position by one)."""
+    out = str(tmp_path / "jb_lag.npz")
+    code = _JB_LAG.replace(
+        "__TESTDIR__", os.path.dirname(os.path.abspath(__file__))
+    ).replace("__OUT__", out)
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert "OK" in r.stdout, r.stderr[-800:]
+    z = np.load(out)
+    # newest token changed -> reference output identical (the lag)
+    assert np.array_equal(z["base"], z["last"])
+    # second-to-last changed -> output responds (the context IS read)
+    assert not np.array_equal(z["base"], z["prev"])
