@@ -59,15 +59,22 @@ def main():
         fence(out)
     rtt = (time.time() - t0) / 4
 
-    n_rep = 3
+    # pipeline the reps: dispatch all generates back-to-back (device
+    # executes them in order on one stream) and fence ONCE at the end —
+    # fencing each rep would serialize a full tunnel round-trip (~35 ms)
+    # against ~36 ms of device work and bury the measurement in RTT noise
+    prompts = (jax.numpy.asarray(prompts[0]),)
+    n_rep = 6
     t0 = time.time()
-    for i in range(n_rep):
-        out = net.generate(
+    outs = [
+        net.generate(
             prompts, n_steps=n_steps, temperature=0.9,
             rng=jax.random.PRNGKey(i),
         )
-        fence(out)
-    elapsed = max((time.time() - t0) / n_rep - rtt, 1e-9)
+        for i in range(n_rep)
+    ]
+    fence(outs[-1])  # in-order stream: the last value proves all reps done
+    elapsed = max((time.time() - t0 - rtt) / n_rep, 1e-9)
 
     total_samples = batch * n_steps
     samples_per_sec = total_samples / elapsed
