@@ -222,11 +222,17 @@ def _poconet_check(mmk, cfg, sr, freq):
             x = 0.1 * jnp.sum(nm)  # extract_env's scaled frame level
             coef = jnp.where(x > lev, 0.75, 0.1)
             lev = lev + coef * (x - lev)
-            ne = jnp.stack([lev, 3.0 * (lev - e_prev2)])[None, None, :]
+            # training derivs are CENTERED, 3*(env[t+1]-env[t-1]): the
+            # newest frame gets a provisional one-sided slope (x2 to match
+            # the centered spacing), retro-corrected to the true centered
+            # value one step later once the next level is known
+            prev_fixed = jnp.stack([e_prev, 3.0 * (lev - e_prev2)])
+            e = e.at[:, -1, :].set(prev_fixed[None])
+            ne = jnp.stack([lev, 6.0 * (lev - e_prev)])[None, None, :]
             carry = (
                 jnp.concatenate([m[:, 1:], nm], axis=1),
                 jnp.concatenate([p[:, 1:], np_], axis=1),
-                jnp.concatenate([e[:, 1:], ne], axis=1),
+                jnp.concatenate([e[:, 1:], jnp.broadcast_to(ne, (e.shape[0], 1, 2))], axis=1),
                 lev, lev, e_prev,
             )
             return carry, (nm[0, 0], np_[0, 0])

@@ -56,15 +56,21 @@ def demo(
     gan.init_params(batch_size=batch_size)
     g_opt = optax.adam(1e-4, b1=0.5, b2=0.9)
     d_opt = optax.adam(1e-4, b1=0.5, b2=0.9)
-    g_state = g_opt.init(gan.gen_params)
-    d_state = d_opt.init(gan.disc_params)
+    g_state = g_opt.init(gan.gen_params["params"])
+    d_state = d_opt.init(gan.disc_params["params"])
     d_step, g_step = make_wavegan_steps(
         gan, g_opt, d_opt, g_batch=batch_size
     )
 
     sig = np.asarray(dataset.signal[:]).astype(np.float32)
     L = cfg.slice_length
-    n_slices = max(1, len(sig) - L)
+    if len(sig) <= L:
+        raise ValueError(
+            f"dataset has {len(sig)} samples but WaveGAN slices are "
+            f"{L} (t0 * prod(up_sample)) — provide longer audio or a "
+            f"smaller slice config"
+        )
+    n_slices = len(sig) - L
     rng = np.random.default_rng(42)
     key = jax.random.PRNGKey(42)
     dp, gp = gan.disc_params, gan.gen_params

@@ -248,5 +248,19 @@ class MultiSeq2SeqLSTM:
     def reset_hidden(self):
         pass  # hidden is per-call in the v1 un-carried path
 
+    def before_generate(self, prompts: Tuple, batch_index: int) -> None:
+        if self.params is None and len(prompts) and prompts[0] is not None:
+            self.init_params(
+                batch_size=np.shape(prompts[0])[0],
+                batch_length=np.shape(prompts[0])[1],
+            )
+
     def generate_step(self, inputs: Tuple, *, t: int = 0, **parameters):
         return self.forward(inputs)
+
+    def after_generate(self, final_outputs: Tuple, batch_index: int) -> None:
+        pass
+
+    @property
+    def generate_params(self):
+        return set()

@@ -136,10 +136,13 @@ class PhaseNetwork(nn.Module):
         center_adv = self._center_adv(F)
 
         lm = safe_log(mag)
-        # freq gradients: central diff, edge-replicated (reflect on bins)
+        # freq gradients: central diff on the interior, then the GRADIENT
+        # is reflect-padded at the edge bins (reference ``poconet.py:84,93``
+        # pads the computed gradient, so grad[0] mirrors grad[1]; padding
+        # the input instead would zero the DC/Nyquist gradients)
         def fgrad(z):
-            zp = jnp.pad(z, ((0, 0), (0, 0), (1, 1)), mode="reflect")
-            return zp[:, :, 2:] - zp[:, :, :-2]
+            g = z[:, :, 2:] - z[:, :, :-2]
+            return jnp.pad(g, ((0, 0), (0, 0), (1, 1)), mode="reflect")
 
         # time gradients valid from frame 1
         tgt = (lm[:, 1:] - lm[:, :-1])
@@ -382,11 +385,25 @@ class PocoNet:
         )
         return outs
 
+    def before_generate(self, prompts: Tuple, batch_index: int) -> None:
+        if self.params is None and len(prompts) and prompts[0] is not None:
+            self.init_params(
+                batch_size=np.shape(prompts[0])[0],
+                batch_length=np.shape(prompts[0])[1],
+            )
+
     def generate_step(self, inputs: Tuple, *, t: int = 0, **parameters):
         """One AR step: feed the last ``rf`` frames, read the final
         (extrapolated) position."""
         pred_m, pred_p = self.forward(inputs)
         return pred_m[:, -1:], pred_p[:, -1:]
+
+    def after_generate(self, final_outputs: Tuple, batch_index: int) -> None:
+        pass
+
+    @property
+    def generate_params(self):
+        return set()
 
 
 def l1_loss_with_phs(output: Tuple, target: Tuple):

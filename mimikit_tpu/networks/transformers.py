@@ -705,6 +705,23 @@ class JukeBox(_StatefulTransformerARM):
     # this exactly "train-mode forward with the unknown token appended".
     _decode_win_lead = 1
 
+    def generate_step(self, inputs: Tuple, *, t: int = 0, **parameters):
+        """Stepwise callers (GenerateLoopV2's fallback, VotingEnsemble)
+        feed the lead-0 window ``[t-rf, t)`` and write the result at
+        ``t`` — apply the same one-token lead as the fast decoder by
+        dropping the oldest token and appending a placeholder slot for
+        ``t`` (never read: every tier slices the final input token away,
+        pinned by test_jukebox_decode_predicts_the_next_token)."""
+        shifted = tuple(
+            jnp.concatenate(
+                [jnp.asarray(x)[:, 1:],
+                 jnp.zeros((np.shape(x)[0], 1), jnp.asarray(x).dtype)],
+                axis=1,
+            )
+            for x in inputs
+        )
+        return super().generate_step(shifted, t=t, **parameters)
+
     @dtc.dataclass
     class Config(NetworkConfig):
         io_spec: "IOSpec" = None

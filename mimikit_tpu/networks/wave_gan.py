@@ -262,58 +262,88 @@ class WaveGAN:
         )
 
 
+def _split_vars(variables):
+    """(params, aux-collections) — aux is batch_stats when BN is on."""
+    aux = {k: v for k, v in variables.items() if k != "params"}
+    return variables["params"], aux
+
+
 def make_wavegan_steps(gan: WaveGAN, g_opt, d_opt, gp_weight: float = 10.0,
                        g_batch: int = 8):
     """Jitted WGAN-GP training pair.
 
     Returns ``(d_step, g_step)``; each takes and returns explicit
-    (params, opt_state) so the whole loop stays functional and the two
-    steps compile once each.  Critic: ``E[D(fake)] - E[D(real)] +
-    gp_weight * E[(||grad D(interp)|| - 1)^2]``; generator:
-    ``-E[D(fake)]``.
+    (variables, opt_state) — variables are full flax variable dicts so
+    ``use_batch_norm=True`` works: gradients flow through ``params`` only
+    and the ``batch_stats`` collection is carried/updated alongside.
+    Critic: ``E[D(fake)] - E[D(real)] + gp_weight *
+    E[(||grad D(interp)|| - 1)^2]``; generator: ``-E[D(fake)]``.
+
+    (WGAN-GP's penalty is per-sample, which sits awkwardly with critic
+    batch norm — supported because the config exposes it, but the WaveGAN
+    paper's default of no critic normalization is the recommended one.)
     """
     gen, disc = gan.generator, gan.discriminator
     latent_dim = gan.config.latent_dim
 
-    def _d_apply(dp, x, key, train=True):
-        return disc.apply(dp, x, train, rngs={"shuffle": key})
+    def _d_apply(p, aux, x, key, train=True):
+        variables = {"params": p, **aux}
+        if train and aux:  # train-mode BN always writes its running stats
+            return disc.apply(
+                variables, x, True, rngs={"shuffle": key}, mutable=list(aux)
+            )
+        return disc.apply(variables, x, train, rngs={"shuffle": key}), aux
 
     @jax.jit
-    def d_step(disc_params, d_state, gen_params, real, key):
+    def d_step(disc_vars, d_state, gen_vars, real, key):
         kz, ks, ki, ku = jax.random.split(key, 4)
         z = jax.random.normal(kz, (real.shape[0], latent_dim))
-        fake = gen.apply(gen_params, z, train=False)
+        fake = gen.apply(gen_vars, z, train=False)
+        dp, daux = _split_vars(disc_vars)
 
-        def loss_fn(dp):
-            d_real = _d_apply(dp, real, ks).mean()
-            d_fake = _d_apply(dp, fake, ks).mean()
+        def loss_fn(p):
+            (d_real, new_aux) = _d_apply(p, daux, real, ks)
+            (d_fake, new_aux) = _d_apply(p, new_aux, fake, ks)
             # gradient penalty on interpolates (critic 1-Lipschitz)
             eps = jax.random.uniform(ku, (real.shape[0], 1, 1))
             interp = eps * real + (1.0 - eps) * fake
 
             def critic(x_single):
-                return _d_apply(dp, x_single[None], ki, train=False)[0, 0]
+                out, _ = _d_apply(p, new_aux, x_single[None], ki, train=False)
+                return out[0, 0]
 
             grads = jax.vmap(jax.grad(critic))(interp)
             gnorm = jnp.sqrt(jnp.sum(grads ** 2, axis=(1, 2)) + 1e-12)
             gp = ((gnorm - 1.0) ** 2).mean()
-            return d_fake - d_real + gp_weight * gp
+            loss = d_fake.mean() - d_real.mean() + gp_weight * gp
+            return loss, new_aux
 
-        loss, grads = jax.value_and_grad(loss_fn)(disc_params)
-        updates, d_state = d_opt.update(grads, d_state, disc_params)
-        return optax.apply_updates(disc_params, updates), d_state, loss
+        (loss, new_aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(dp)
+        updates, d_state = d_opt.update(grads, d_state, dp)
+        dp = optax.apply_updates(dp, updates)
+        return {"params": dp, **new_aux}, d_state, loss
 
     @jax.jit
-    def g_step(gen_params, g_state, disc_params, key):
+    def g_step(gen_vars, g_state, disc_vars, key):
         kz, ks = jax.random.split(key)
+        gp_, gaux = _split_vars(gen_vars)
+        dparams, daux = _split_vars(disc_vars)
 
-        def loss_fn(gp):
+        def loss_fn(p):
             z = jax.random.normal(kz, (g_batch, latent_dim))
-            fake = gen.apply(gp, z, train=False)
-            return -_d_apply(disc_params, fake, ks).mean()
+            variables = {"params": p, **gaux}
+            if gaux:  # generator batch norm: train mode, stats updated
+                fake, new_aux = gen.apply(
+                    variables, z, train=True, mutable=list(gaux)
+                )
+            else:
+                fake, new_aux = gen.apply(variables, z, train=False), gaux
+            out, _ = _d_apply(dparams, daux, fake, ks)
+            return -out.mean(), new_aux
 
-        loss, grads = jax.value_and_grad(loss_fn)(gen_params)
-        updates, g_state = g_opt.update(grads, g_state, gen_params)
-        return optax.apply_updates(gen_params, updates), g_state, loss
+        (loss, new_aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(gp_)
+        updates, g_state = g_opt.update(grads, g_state, gp_)
+        gp_ = optax.apply_updates(gp_, updates)
+        return {"params": gp_, **new_aux}, g_state, loss
 
     return d_step, g_step

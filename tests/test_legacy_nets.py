@@ -116,8 +116,8 @@ def test_wavegan_wgan_gp_steps_train():
     gan = _tiny_gan()
     gan.init_params(batch_size=2)
     g_opt, d_opt = optax.adam(1e-4), optax.adam(1e-4)
-    g_state = g_opt.init(gan.gen_params)
-    d_state = d_opt.init(gan.disc_params)
+    g_state = g_opt.init(gan.gen_params["params"])
+    d_state = d_opt.init(gan.disc_params["params"])
     d_step, g_step = make_wavegan_steps(gan, g_opt, d_opt)
     key = jax.random.PRNGKey(3)
     real = jax.random.uniform(
@@ -134,6 +134,63 @@ def test_wavegan_wgan_gp_steps_train():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), gan.gen_params, gp
     )
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_wavegan_batch_norm_trains():
+    """use_batch_norm=True must actually train: batch_stats are carried
+    and updated through both WGAN-GP steps (regression: the steps used to
+    crash with ModifyScopeVariableError)."""
+    cfg = mmk.WaveGAN.Config(
+        latent_dim=8, model_size=4, kernel_size=9, t0=4,
+        up_sample=(2, 2), post_proc_filt_len=0, use_batch_norm=True,
+    )
+    gan = mmk.WaveGAN.from_config(cfg)
+    gan.init_params(batch_size=2)
+    assert "batch_stats" in gan.gen_params  # BN really is in the tree
+    g_opt, d_opt = optax.adam(1e-3), optax.adam(1e-3)
+    g_state = g_opt.init(gan.gen_params["params"])
+    d_state = d_opt.init(gan.disc_params["params"])
+    d_step, g_step = make_wavegan_steps(gan, g_opt, d_opt, g_batch=2)
+    key = jax.random.PRNGKey(5)
+    real = jax.random.uniform(
+        key, (2, cfg.slice_length, 1), minval=-1, maxval=1
+    )
+    dp, gp = gan.disc_params, gan.gen_params
+    for _ in range(2):
+        key, k1, k2 = jax.random.split(key, 3)
+        dp, d_state, dl = d_step(dp, d_state, gp, real, k1)
+        gp, g_state, gl = g_step(gp, g_state, dp, k2)
+        assert bool(jnp.isfinite(dl)) and bool(jnp.isfinite(gl))
+    # the generator's running stats moved (train-mode BN was exercised)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        gan.gen_params["batch_stats"], gp["batch_stats"],
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_legacy_nets_run_under_generate_loop_interface():
+    """MultiSeq2SeqLSTM and PocoNet expose the full ARM loop surface
+    (before_generate / generate_step / after_generate / generate_params)
+    so the generation loops don't crash on them."""
+    ms2s = mmk.MultiSeq2SeqLSTM.from_config(
+        mmk.MultiSeq2SeqLSTM.Config(io_dim=9, model_dim=8, hop=2, n_stages=2)
+    )
+    x = jnp.abs(jax.random.normal(jax.random.PRNGKey(0), (1, 8, 9)))
+    ms2s.before_generate((x,), 0)
+    (y,) = ms2s.generate_step((x,), t=0)
+    ms2s.after_generate((y,), 0)
+    assert ms2s.generate_params == set()
+
+    poco = mmk.PocoNet.from_config(
+        mmk.PocoNet.Config(input_dim=9, gate_dim=16, n_layers=(2,),
+                           dim1x1=8, dim2x3=8, amp_env_dim=4, amp_gate_dim=8)
+    )
+    mag, phs, env = _poco_inputs(T=12, F=9)
+    poco.before_generate((mag, phs, env), 0)
+    sm, sp = poco.generate_step((mag, phs, env), t=0)
+    poco.after_generate((sm, sp), 0)
+    assert sm.shape == (2, 1, 9)
 
 
 def test_wavegan_config_roundtrips():

@@ -221,6 +221,32 @@ def test_jukebox_window_decode_matches_stepwise():
     assert np.array_equal(np.asarray(out2[0])[:, :6], prompts[0][:, :6])
 
 
+def test_jukebox_stepwise_generate_step_matches_fast_decode():
+    """The stepwise contract (GenerateLoopV2._stepwise, VotingEnsemble):
+    ``generate_step`` receives the lead-0 window ``[t-rf, t)`` and its
+    output is written at ``t``.  JukeBox's override must apply the same
+    one-token lead as the fast decoder so both paths emit identical
+    sequences (regression: only generate() was fixed at first, leaving
+    every stepwise caller on the lagged, DC-collapsing path)."""
+    jb = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=jb_io(), frame_sizes=(8, 4, 2), model_dim=16, n_heads=2,
+            feedforward_dim=32, num_layers=1, rf=16,
+        )
+    )
+    jb.seed(0)
+    prompts = (np.random.randint(0, 32, (2, 24)).astype(np.int32),)
+    seq = np.asarray(jb.generate(prompts, n_steps=8, temperature=None)[0])
+    jb.eval()
+    rf = jb._window_len()
+    for t in range(24, 32):
+        o = np.asarray(
+            jb.generate_step((seq[:, t - rf: t],), t=t, temperature=None)[0]
+        )
+        tok = o.reshape(2)
+        assert np.array_equal(tok.astype(seq.dtype), seq[:, t]), t
+
+
 def test_jukebox_decode_predicts_the_next_token():
     """The eval forward must be a function of tokens[:-1] ONLY (the final
     input token is the train-mode target and must never be read), and the
