@@ -38,6 +38,7 @@ from .clusters import (
     spectral_clustering_view,
 )
 from .factory import auto_config_view
+from .segment_table import SegmentTable
 from .functionals import (
     autoconvolve_view,
     chroma_view,
@@ -356,6 +357,7 @@ class ClusterizerApp:
         )
         self.clustering_widget = W.VBox()
         self.labels_widget = W.VBox()
+        self.segment_table = SegmentTable()
         self.container = W.VBox(
             children=(self.dataset_widget, self.clustering_widget, self.labels_widget, self.out)
         )
@@ -393,6 +395,7 @@ class ClusterizerApp:
 
         segments = self.pipeline.segments_from_clustering()
         labels = sorted({int(s["labelText"]) for s in segments})
+        self.segment_table = SegmentTable()
         toggles = []
         for lab in labels:
             t = W.ToggleButton(value=False, description=str(lab))
@@ -400,8 +403,17 @@ class ClusterizerApp:
             def obs(ev, lab=lab):
                 if ev["new"]:
                     self.selected_labels.add(lab)
+                    # selected labels' segments become editable table rows
+                    # (the reference fills its qgrid the same way,
+                    # clusterizer_app.py:510-517)
+                    for s in segments:
+                        if s["labelText"] == str(lab):
+                            self.segment_table.add_segment(
+                                s["startTime"], s["endTime"], s["labelText"]
+                            )
                 else:
                     self.selected_labels.discard(lab)
+                    self.segment_table.remove_label(str(lab))
 
             t.observe(obs, "value")
             toggles.append(t)
@@ -418,7 +430,9 @@ class ClusterizerApp:
                     pass
 
         bounce.on_click(on_bounce)
-        self.labels_widget.children = (W.HBox(children=tuple(toggles)), bounce)
+        self.labels_widget.children = (
+            W.HBox(children=tuple(toggles)), self.segment_table.widget, bounce
+        )
 
     def select(self, *labels: int):
         self.selected_labels |= set(labels)
@@ -428,10 +442,19 @@ class ClusterizerApp:
         self.selected_labels -= set(labels)
         return self
 
+    @property
+    def segments(self) -> List[dict]:
+        """segments as currently edited by the user (start-time sorted);
+        falls back to the raw clustering when nothing is in the table"""
+        edited = self.segment_table.selected_segments
+        return edited if edited else self.pipeline.segments_from_clustering()
+
     def bounce_selected_labels(self):
+        """bounce the selected labels' raw segments, IGNORING user edits
+        (reference semantics, clusterizer_app.py:452)"""
         return self.pipeline.bounce_labels(*self.selected_labels)
 
     def bounce_segments(self):
-        return self.pipeline.bounce_segments(
-            self.pipeline.segments_from_clustering()
-        )
+        """bounce the segments as edited in the table (reference
+        semantics, clusterizer_app.py:462-473)"""
+        return self.pipeline.bounce_segments(self.segments)

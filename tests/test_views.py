@@ -224,8 +224,8 @@ def test_clusterizer_app_full_widget_tree(tmp_path):
     app.save_as.value = "labels"
     app.on_submit(None)
 
-    # label view built: one toggle per label + a bounce button
-    toggles_row, bounce_btn = app.labels_widget.children
+    # label view built: one toggle per label + segment table + bounce
+    toggles_row, table_w, bounce_btn = app.labels_widget.children
     assert len(toggles_row.children) == 2
     toggles_row.children[0].value = True  # select label via the widget
     assert len(app.selected_labels) == 1
@@ -233,3 +233,63 @@ def test_clusterizer_app_full_widget_tree(tmp_path):
     y = app.bounce_selected_labels()
     y = np.asarray(y)
     assert y.ndim == 1 and y.size > 0 and np.isfinite(y).all()
+
+    # toggling the label populated the editable table (the qgrid layer);
+    # edit a row through its input widgets and bounce the edited segments
+    segs = app.segment_table.segments
+    assert segs and all(s["labelText"] == "0" for s in segs)
+    row = app.segment_table._row_widgets[segs[0]["id"]]
+    _, start_w, end_w, _, _ = row.children
+    end_w.value = min(float(end_w.value), 0.5)
+    assert app.segment_table.segments[0]["endTime"] <= 0.5
+    y2 = np.asarray(app.bounce_segments())
+    assert y2.ndim == 1 and 0 < y2.size < y.size + 1 and np.isfinite(y2).all()
+
+    # toggling off clears that label's rows
+    toggles_row.children[0].value = False
+    assert app.segment_table.segments == []
+
+
+def test_segment_table_programmatic_and_widget_paths_agree():
+    """SegmentTable: add/edit/remove through the API mutate the same state
+    the row widgets render; widget edits call back into the API (one code
+    path — the qgrid-equivalent contract)."""
+    pytest.importorskip("ipywidgets")
+    from mimikit_tpu.views.segment_table import SegmentTable
+
+    tbl = SegmentTable()
+    a = tbl.add_segment(0.0, 1.0, "0")
+    b = tbl.add_segment(2.0, 3.0, "1")
+    w = tbl.widget  # build AFTER some rows exist
+    assert len(tbl._row_widgets) == 2
+    c = tbl.add_segment(1.0, 2.0, "0")  # and add AFTER the build
+    assert len(tbl._row_widgets) == 3
+    # sorted by startTime regardless of insertion order
+    assert [s["id"] for s in tbl.segments] == [a, c, b]
+
+    # programmatic edit syncs the row widgets
+    tbl.edit_segment(b, startTime=4.0, labelText="2")
+    _, start_w, _, lab_w, _ = tbl._row_widgets[b].children
+    assert start_w.value == 4.0 and lab_w.value == "2"
+
+    # widget edit syncs the data
+    start_w.value = 5.0
+    assert tbl._rows[b]["startTime"] == 5.0
+
+    # deselect drops a row from selected_segments but not segments
+    sel_w = tbl._row_widgets[a].children[0]
+    sel_w.value = False
+    assert [s["id"] for s in tbl.selected_segments] == [c, b]
+    assert len(tbl.segments) == 3
+
+    # the add-row button appends a row continuing the last segment's end
+    # (b sorts last at start 5.0 with end 3.0, so the new row starts at 3.0)
+    w.children[-1].click()
+    assert len(tbl.segments) == 4
+    assert any(s["startTime"] == 3.0 and s["endTime"] == 4.0
+               for s in tbl.segments)
+
+    tbl.remove_label("0")  # drops a and c; b + the added row carry "2"
+    assert {s["id"] for s in tbl.segments} == {b, 3}
+    tbl.clear()
+    assert tbl.segments == [] and len(w.children) == 2  # header + add btn
