@@ -284,6 +284,7 @@ class Seq2SeqLSTMNetwork(ARMWithHidden):
         self.module = core
         self.params = None
         self.training = True
+        self._decoders = {}
 
     @property
     def config(self):
@@ -349,6 +350,68 @@ class Seq2SeqLSTMNetwork(ARMWithHidden):
 
     def after_generate(self, final_outputs: Tuple, batch_index: int) -> None:
         pass
+
+    def generate(self, prompts: Tuple, n_steps: int, temperature=None,
+                 rng=None):
+        """Block-autoregressive decode as one jitted ``lax.scan``.
+
+        Each scan iteration feeds the last ``hop`` frames through the
+        eval-mode encoder/decoder (hidden per-call, like the reference's
+        un-carried path — ``s2s_lstm_v2.py``'s forward) and emits the next
+        ``hop`` frames; identical sequences to the stepwise loop when
+        sampling is deterministic (``tests/test_seq2seq.py``).  Keeps the
+        whole decode device-resident — the stepwise fallback pays a
+        host↔device round-trip per block."""
+        self._ensure_params(prompts)
+        hop = self._config.hop
+        xs = tuple(jnp.asarray(p) for p in prompts)
+        B, Tp = xs[0].shape[0], xs[0].shape[1]
+        if rng is None:
+            rng = self.next_rng()
+        n_blocks = max(1, -(-n_steps // hop))
+        key = (B, Tp, int(n_steps), temperature is None,
+               tuple((str(x.dtype), x.shape[2:]) for x in xs))
+        dec = self._decoders.get(key)
+        if dec is None:
+            module = self.module
+            argmax = temperature is None
+
+            @jax.jit
+            def run(params, xs, rng, temp):
+                wins = tuple(
+                    jnp.pad(x, ((0, 0), (max(0, hop - Tp), 0))
+                            + ((0, 0),) * (x.ndim - 2))[:, -hop:]
+                    for x in xs
+                )
+
+                def step(wins, k):
+                    outs, _ = module.apply(
+                        {"params": params}, wins, None, False,
+                        None if argmax else temp,
+                        rngs={"dropout": k, "sample": k},
+                    )
+                    outs = tuple(
+                        o.astype(w.dtype) for o, w in zip(outs, wins)
+                    )
+                    return outs, outs
+
+                keys = jax.random.split(rng, n_blocks)
+                _, blocks = jax.lax.scan(step, wins, keys)
+                return tuple(
+                    jnp.concatenate(
+                        [x, jnp.moveaxis(b, 0, 1).reshape(
+                            B, n_blocks * hop, *x.shape[2:])[:, :n_steps]],
+                        axis=1,
+                    )
+                    for x, b in zip(xs, blocks)
+                )
+
+            dec = run
+            self._decoders[key] = dec
+        temp = jnp.asarray(
+            1.0 if temperature is None else temperature, jnp.float32
+        )
+        return dec(self.params, xs, rng, temp)
 
     @property
     def generate_params(self):

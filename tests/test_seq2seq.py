@@ -111,6 +111,24 @@ def test_should_generate(tmp_path):
     assert ran
 
 
+@pytest.mark.parametrize("n_steps", [8, 10])
+def test_fast_generate_matches_stepwise(n_steps):
+    """The scan-based ``generate`` must emit the same frames as the
+    reference-semantics stepwise loop (deterministic head -> exact)."""
+    s2s = Seq2SeqLSTMNetwork.from_config(
+        Seq2SeqLSTMNetwork.Config(io_spec=small_magspec_io(), model_dim=32, hop=4)
+    )
+    s2s.eval()
+    d = s2s.config.io_spec.inputs[0].elem_type.size
+    prompt = (np.abs(inputs_(2, 8, d)),)
+    s2s.init_params(batch_size=2)
+    fast = np.asarray(s2s.generate(prompt, n_steps)[0])
+    loop = GenerateLoopV2(GenerateLoopV2.Config(), s2s, n_steps, dataloader=None)
+    step = np.asarray(loop._stepwise(prompt, np.array([0, 1]), {})[0])
+    assert fast.shape == step.shape == (2, 8 + n_steps, d)
+    np.testing.assert_allclose(fast, step, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize(
     "given_io",
     [
