@@ -104,6 +104,64 @@ def main():
         results.append(entry)
         print(json.dumps(entry))
 
+    # seq2seq block-AR decode: the fast path scans hop-frame blocks on
+    # device (networks/s2s_lstm.py:generate) vs the host-driven stepwise
+    # loop.  Frames carry hop_length samples -> samples/s-equivalent.
+    import jax as _jax
+    from mimikit_tpu.loops.generate import GenerateLoopV2
+
+    n_fft, hop_length = 2048, 512
+    s2s = mmk.Seq2SeqLSTMNetwork.from_config(
+        mmk.Seq2SeqLSTMNetwork.Config(
+            io_spec=mmk.IOSpec.magspec_io(
+                mmk.IOSpec.MagSpecIOConfig(n_fft=n_fft, hop_length=hop_length)
+            ),
+            model_dim=512, hop=8,
+        )
+    )
+    s2s.seed(0)
+    n_frames = 512
+    for name, B, fast in (("fast_b1", 1, True), ("fast_b16", 16, True),
+                          ("stepwise_b1", 1, False)):
+        prompts = (
+            np.abs(np.random.randn(B, 16, n_fft // 2 + 1)).astype(np.float32),
+        )
+        s2s._ensure_params(prompts)
+        steps = n_frames if fast else 64  # stepwise pays a RTT per block
+        if fast:
+            from _timing import fence, read_rtt
+
+            out = s2s.generate(prompts, n_steps=steps)
+            fence(out[0])
+            rtt = read_rtt(out[0])
+            reps = 3
+            t0 = time.time()
+            for i in range(reps):
+                out = s2s.generate(
+                    prompts, n_steps=steps, rng=_jax.random.PRNGKey(i)
+                )
+                fence(out[0])
+            dt = max((time.time() - t0) / reps - rtt, 1e-9)
+        else:
+            loop = GenerateLoopV2(
+                GenerateLoopV2.Config(), s2s, steps, dataloader=None
+            )
+            loop._stepwise(prompts, np.arange(B), {})  # warm the jit
+            t0 = time.time()
+            loop._stepwise(prompts, np.arange(B), {})
+            dt = max(time.time() - t0, 1e-9)
+        fps = B * steps / dt
+        entry = {
+            "metric": f"seq2seq_{name}_frames_per_sec",
+            "value": round(fps, 1),
+            "unit": "frames/s",
+            # realtime factor at sr=22050 with hop_length samples per frame
+            "vs_baseline": round(fps * hop_length / 22050.0, 2),
+            "samples_per_sec_eq": round(fps * hop_length, 1),
+        }
+        results.append(entry)
+        print(json.dumps(entry))
+
     # streaming latency: 100 ms audio chunks from the state-carrying stream
     # (the serving path — loops/streaming.py).  Reported as wall ms per
     # 1600-sample chunk and the realtime factor that implies.

@@ -12,9 +12,11 @@ first-class serving surface:
   hidden state and sample windows are carried across kernel calls on-chip.
 * Other ``generate``-capable networks fall back to receptive-field window
   re-feeding: exact for nets whose decode state is fully
-  window-determined (WaveNet, transformers).  Models without a batch
-  ``generate`` (seq2seq encoder/decoder, autoencoders) are rejected with
-  a clear error — they run under ``GenerateLoopV2``/``EncodeDecodeLoop``.
+  window-determined — WaveNet, transformers, and seq2seq (whose hidden is
+  per-block; exact when ``chunk_steps`` is a multiple of its ``hop`` so
+  chunk boundaries align with block boundaries).  Models without a batch
+  ``generate`` (autoencoders) are rejected with a clear error — they run
+  under ``EncodeDecodeLoop``.
 * ``stream_audio(...)`` additionally applies the IOSpec target's inverse
   transform per chunk (mu-law expand; GLA for frame-domain nets like the
   magspec WaveNet), yielding float audio.
@@ -35,8 +37,8 @@ def _refeed_stream(net, prompt, chunk_steps: int, temperature, rng):
     if not callable(getattr(net, "generate", None)):
         raise TypeError(
             f"{type(net).__name__} has no batch `generate` — streaming "
-            "needs one (seq2seq/autoencoder models run under "
-            "GenerateLoopV2/EncodeDecodeLoop instead)"
+            "needs one (autoencoder models run under EncodeDecodeLoop "
+            "instead)"
         )
     if rng is None:
         rng = jax.random.PRNGKey(0)

@@ -103,16 +103,32 @@ def test_stream_audio_yields_float_audio():
     assert np.all(np.abs(first) <= 1.0 + 1e-6)
 
 
-def test_seq2seq_streaming_raises_clear_error():
+def test_seq2seq_refeed_stream_matches_long_decode_exactly():
+    """Seq2seq decode state is window-determined (hidden is per-block), so
+    the re-feed stream continues exactly when chunks align to hop blocks."""
     io = mmk.IOSpec.magspec_io(
         mmk.IOSpec.MagSpecIOConfig(sr=16000, n_fft=256, hop_length=64)
     )
     s2s = mmk.Seq2SeqLSTMNetwork.from_config(
         mmk.Seq2SeqLSTMNetwork.Config(io_spec=io, model_dim=16, hop=4)
     )
-    frames = np.random.rand(1, 4, 129).astype(np.float32)
-    with pytest.raises(TypeError, match="generate"):
-        next(iter(mmk.stream_tokens(s2s, (frames,), 4)))
+    B, chunk, n_chunks = 2, 8, 3  # chunk % hop == 0 -> block-aligned
+    prior_t = 6
+    frames = np.abs(np.random.RandomState(3).randn(B, prior_t, 129)).astype(
+        np.float32
+    )
+    s2s.init_params(batch_size=B)
+    chunks = list(
+        itertools.islice(
+            mmk.stream_tokens(s2s, (frames,), chunk, temperature=None),
+            n_chunks,
+        )
+    )
+    streamed = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+    long = np.asarray(
+        s2s.generate((frames,), n_steps=n_chunks * chunk, temperature=None)[0]
+    )[:, prior_t:]
+    np.testing.assert_allclose(streamed, long, rtol=1e-5, atol=1e-6)
 
 
 def test_stream_auto_initializes_params(monkeypatch):
