@@ -56,6 +56,7 @@ __all__ = [
     "TimeStretch",
     "derivative_np",
     "derivative_jax",
+    "derivative_torch",
     "Derivative",
     "AutoConvolve",
     "F0Filter",
@@ -1113,6 +1114,30 @@ def derivative_jax(y, max_lag: int):
         left = y[..., :1] + (y[..., :1] - y[..., 1 : 1 + lag])[..., ::-1]
         right = y[..., -1:] + (y[..., -1:] - y[..., -lag - 1 : -1])[..., ::-1]
         y_p = jnp.concatenate([left, y, right], axis=-1)
+        k = 2 * lag + 1
+        a, b = y_p[..., : -k + 1], y_p[..., k - 1 :]
+        grads += (1 / lag) * ((b - y) + (y - a)) / 2 / max_lag
+    return grads
+
+
+def derivative_torch(y, max_lag: int):
+    """Torch twin of :func:`derivative_np` (reference ``functionals.py:960-974``)
+    kept for users migrating torch pipelines.
+
+    torch is imported lazily — calling this is the user's opt-in to loading
+    torch into the process (torch and XLA:CPU misbehave when co-resident;
+    see ``tests/test_torch_parity.py``).  The np/jax/native paths above are
+    the framework's own compute routes.
+    """
+    import torch
+
+    y = y if torch.is_tensor(y) else torch.as_tensor(np.asarray(y))
+    y = y.to(torch.float32)
+    grads = torch.zeros_like(y)
+    for lag in range(1, max_lag + 1):
+        left = y[..., :1] + (y[..., :1] - y[..., 1 : 1 + lag]).flip(-1)
+        right = y[..., -1:] + (y[..., -1:] - y[..., -lag - 1 : -1]).flip(-1)
+        y_p = torch.cat([left, y, right], dim=-1)
         k = 2 * lag + 1
         a, b = y_p[..., : -k + 1], y_p[..., k - 1 :]
         grads += (1 / lag) * ((b - y) + (y - a)) / 2 / max_lag

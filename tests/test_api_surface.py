@@ -1,9 +1,9 @@
 """The public namespace must stay a drop-in superset of the reference's.
 
 The inventory below is the union of every ``__all__`` in the reference
-package (202 names).  One absence is deliberate and documented in
-PARITY.md: ``derivative_torch`` (the torch-specific twin of
-``derivative_np``; the native/jax equivalents live in ``ops/``).
+package (202 names).  All 202 are present — including ``derivative_torch``,
+which lazily imports torch only when called (torch-next-to-jax is unsafe in
+one process; see ``tests/test_torch_parity.py``).
 """
 import ast
 import os
@@ -12,7 +12,7 @@ import pytest
 
 import mimikit_tpu as mmk
 
-DOCUMENTED_ABSENCES = {"derivative_torch"}
+DOCUMENTED_ABSENCES = set()
 
 REFERENCE_PKG = "/root/reference/mimikit"
 

@@ -164,3 +164,28 @@ def test_stft_matches_torch_stft():
     assert S_ours.shape == S_torch.shape
     assert np.allclose(np.abs(S_ours), np.abs(S_torch), atol=1e-3)
     assert np.allclose(S_ours.real, S_torch.real, atol=1e-3)
+
+
+def test_derivative_torch_matches_np_and_reference_formula():
+    """``mmk.derivative_torch`` (reference functionals.py:960-974) agrees with
+    the np/native path and with the reference's own loop formula."""
+    for shape in ((64,), (3, 50)):
+        y = np.random.randn(*shape).astype(np.float32)
+        ours_t = mmk.derivative_torch(torch.from_numpy(y), 3).numpy()
+        ours_np = mmk.derivative_np(y, 3)
+        assert np.allclose(ours_t, ours_np, atol=1e-5)
+
+        # the reference's torch loop, written out independently
+        yt = torch.from_numpy(y)
+        grads = torch.zeros_like(yt)
+        max_lag = 3
+        for delay in range(1, max_lag + 1):
+            k = delay * 2 + 1
+            k_half = k // 2
+            y_p = torch.zeros(*y.shape[:-1], y.shape[-1] + k - 1)
+            y_p[..., k_half:-k_half] = yt
+            y_p[..., :k_half] = yt[..., :1] + (yt[..., :1] - yt[..., 1 : 1 + k_half]).flip(-1)
+            y_p[..., -k_half:] = yt[..., -1:] + (yt[..., -1:] - yt[..., -k_half - 1 : -1]).flip(-1)
+            a, b = y_p[..., : -k + 1], y_p[..., k - 1 :]
+            grads += (1 / delay) * ((b - yt) + (yt - a)) / 2 / max_lag
+        assert np.allclose(ours_t, grads.numpy(), atol=1e-6)
