@@ -23,14 +23,28 @@ def bench(net, B, n_steps, prior_t, q, flag, reps=3):
     out = net.generate(prompts, n_steps=n_steps, temperature=0.9)
     fence(out[0])
     rtt = read_rtt(out[0])
-    t0 = time.time()
-    for i in range(reps):
-        out = net.generate(
-            prompts, n_steps=n_steps, temperature=0.9, rng=jax.random.PRNGKey(i)
-        )
-        fence(out[0])
-    dt = max((time.time() - t0) / reps - rtt, 1e-9)
-    used_pallas = net._use_pallas_decode(B, prior_t, n_steps, argmax=False)
+
+    def run(k):
+        # pipeline the reps: fence once at the end so the ~35 ms tunnel
+        # round-trip is paid once, not per rep (see bench.py)
+        t0 = time.time()
+        for i in range(k):
+            o = net.generate(
+                prompts, n_steps=n_steps, temperature=0.9,
+                rng=jax.random.PRNGKey(i),
+            )
+        fence(o[0])
+        return max((time.time() - t0 - rtt) / k, 1e-9)
+
+    per_rep = run(reps)
+    if per_rep * reps < 1.0:
+        # too fast for the fence's ms-scale jitter: re-run with enough reps
+        # that the timed region dominates the round-trip
+        reps = min(int(1.0 / per_rep) + 1, 512)
+        per_rep = run(reps)
+    dt = per_rep
+    routing = getattr(net, "_use_pallas_decode", None)
+    used_pallas = bool(routing and routing(B, prior_t, n_steps, argmax=False))
     return B * n_steps / dt, dt * 1e6 / n_steps, used_pallas
 
 
@@ -78,18 +92,34 @@ def main():
     )
     tf.seed(0)
 
+    jb = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=mmk.IOSpec.mulaw_io(
+                mmk.IOSpec.MuLawIOConfig(sr=16000, q_levels=256, mlp_dim=128)
+            ),
+            frame_sizes=(32, 16, 4), model_dim=128, n_heads=8,
+            feedforward_dim=256, num_layers=2, rf=128, input_dropout=0.0,
+        )
+    )
+    jb.seed(0)
+
     cases = [
         # (name, net, B, n_steps, prior_t, flag, baseline)
         ("samplernn3_pallas_b1", srnn, 1, 16384, 32, "auto", 50_000.0),
         ("samplernn3_scan_b1", srnn, 1, 16384, 32, "0", 50_000.0),
         ("samplernn3_pallas_b256", srnn, 256, 16384, 32, "auto", 50_000.0),
         ("samplernn3_pallas_b512", srnn, 512, 16384, 32, "auto", 50_000.0),
+        ("samplernn3_pallas_b1024", srnn, 1024, 16384, 32, "auto", 50_000.0),
         ("samplernn3_scan_b256", srnn, 256, 16384, 32, "0", 50_000.0),
         ("wavenet10_pallas_b8", wn, 8, 2048, wn.rf + 8, "auto", 1e6),
         ("wavenet10_pallas_b24", wn, 24, 2048, wn.rf + 8, "auto", 1e6),
         ("wavenet10_scan_b64", wn, 64, 2048, wn.rf + 8, "0", 1e6),
         ("transformer8l_pallas_b1", tf, 1, 4096, 64, "auto", 16000.0),
         ("transformer8l_scan_b1", tf, 1, 4096, 64, "0", 16000.0),
+        # hierarchical tiers decode via the shared sliding-window scan
+        # (multi-tier framed-conv pyramid is out of fused-kernel scope)
+        ("jukebox3_win_b1", jb, 1, 4096, 128, "auto", 16000.0),
+        ("jukebox3_win_b16", jb, 16, 4096, 128, "auto", 16000.0),
     ]
     for name, net, B, n_steps, prior_t, flag, base in cases:
         sps, us, used_pallas = bench(net, B, n_steps, prior_t, 256, flag)
@@ -134,14 +164,19 @@ def main():
             out = s2s.generate(prompts, n_steps=steps)
             fence(out[0])
             rtt = read_rtt(out[0])
-            reps = 3
-            t0 = time.time()
-            for i in range(reps):
-                out = s2s.generate(
-                    prompts, n_steps=steps, rng=_jax.random.PRNGKey(i)
-                )
-                fence(out[0])
-            dt = max((time.time() - t0) / reps - rtt, 1e-9)
+
+            def run(k):
+                t0 = time.time()
+                for i in range(k):
+                    o = s2s.generate(
+                        prompts, n_steps=steps, rng=_jax.random.PRNGKey(i)
+                    )
+                fence(o[0])
+                return max((time.time() - t0 - rtt) / k, 1e-9)
+
+            dt = run(3)
+            if dt * 3 < 1.0:
+                dt = run(min(int(1.0 / dt) + 1, 512))
         else:
             loop = GenerateLoopV2(
                 GenerateLoopV2.Config(), s2s, steps, dataloader=None

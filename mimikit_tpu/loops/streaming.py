@@ -42,7 +42,15 @@ def _refeed_stream(net, prompt, chunk_steps: int, temperature, rng):
         )
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    window = int(net.rf) + 1
+    # re-feed the span the net's decoder actually conditions on: nets whose
+    # sliding-window decode rounds rf up to a framing-friendly window
+    # (JukeBox: a multiple of frame_sizes[0]) look past rf — re-feeding
+    # only rf+1 outputs would zero-pad that extra history and diverge from
+    # one long decode (pinned in tests/test_streaming.py)
+    if callable(getattr(net, "_window_len", None)):
+        window = int(net._window_len())
+    else:
+        window = int(net.rf) + 1
     buf = jnp.asarray(prompt)
     while True:
         rng, sub = jax.random.split(rng)

@@ -131,6 +131,35 @@ def test_seq2seq_refeed_stream_matches_long_decode_exactly():
     np.testing.assert_allclose(streamed, long, rtol=1e-5, atol=1e-6)
 
 
+def test_jukebox_refeed_stream_matches_long_decode_exactly():
+    """JukeBox's sliding-window decode rounds rf (12) up to a framing
+    window (16): the stream must re-feed that whole window, not rf+1 —
+    zero-padding the extra history diverges from one long decode."""
+    io = _mulaw_io(mlp=32)
+    jb = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=io, frame_sizes=(8, 4, 2), model_dim=32, n_heads=4,
+            feedforward_dim=64, num_layers=1, rf=12, input_dropout=0.0,
+        )
+    )
+    jb.seed(0)
+    assert jb._window_len() > jb.rf  # the case under test
+    B, chunk, n_chunks = 2, 8, 4
+    prompt = np.random.RandomState(0).randint(0, 64, (B, 24)).astype(np.int32)
+    jb._ensure_params((prompt,))
+    chunks = list(
+        itertools.islice(
+            mmk.stream_tokens(jb, (prompt,), chunk, temperature=None),
+            n_chunks,
+        )
+    )
+    streamed = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+    long = np.asarray(
+        jb.generate((prompt,), n_steps=n_chunks * chunk, temperature=None)[0]
+    )[:, 24:]
+    np.testing.assert_array_equal(streamed, long)
+
+
 def test_stream_auto_initializes_params(monkeypatch):
     monkeypatch.setenv("MMK_PALLAS_DECODE", "1")
     net = mmk.SampleRNN.from_config(
