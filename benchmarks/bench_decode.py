@@ -45,6 +45,11 @@ def bench(net, B, n_steps, prior_t, q, flag, reps=3):
     dt = per_rep
     routing = getattr(net, "_use_pallas_decode", None)
     used_pallas = bool(routing and routing(B, prior_t, n_steps, argmax=False))
+    split = getattr(net, "_pallas_batch_split", None)
+    if not used_pallas and split is not None:
+        # batches past the kernel's VMEM envelope decode as pipelined
+        # sub-batch kernel dispatches — still the fused path
+        used_pallas = split(B, prior_t, n_steps, argmax=False) is not None
     return B * n_steps / dt, dt * 1e6 / n_steps, used_pallas
 
 

@@ -502,6 +502,30 @@ class SampleRNN(ARMWithHidden):
             )
             if out is not None:
                 return out
+        elif mesh is None:
+            sub = self._pallas_batch_split(
+                B, prior_t, n_steps, argmax=temperature is None
+            )
+            if sub is not None:
+                # streams are independent: slice the batch to the largest
+                # size the fused kernel's VMEM envelope admits and pipeline
+                # one dispatch per slice (async — the device runs them
+                # back-to-back), keeping kernel throughput where one big
+                # batch would fall back to the scan decoder
+                starts = range(0, B, sub)
+                keys = jax.random.split(rng, len(starts))
+                outs = [
+                    self.generate(
+                        tuple(p[i : i + sub] for p in prompts),
+                        n_steps,
+                        temperature,
+                        rng=k,
+                    )
+                    for i, k in zip(starts, keys)
+                ]
+                return tuple(
+                    jnp.concatenate(parts, axis=0) for parts in zip(*outs)
+                )
         bufs = tuple(
             jnp.concatenate(
                 [p, jnp.zeros((B, n_steps) + p.shape[2:], p.dtype)], axis=1
@@ -533,6 +557,24 @@ class SampleRNN(ARMWithHidden):
             # off-TPU (and only when forced, for tests)
             return False
         return self._pallas_mode(B, prior_t, n_steps) is not None
+
+    def _pallas_batch_split(
+        self, B: int, prior_t: int, n_steps: int, argmax: bool
+    ):
+        """Sub-batch size to decode a batch too wide for the fused kernel.
+
+        ``_pallas_mode`` returns None when the per-stream state no longer
+        fits scoped VMEM (measured v5e: B=1024 OOMs where B=512 runs at
+        ~80M samples/s).  Halve until a width passes the full routing gate;
+        None when even the smallest useful width fails (or pallas is
+        unavailable for other reasons — disabled, unsupported config,
+        short prompt — which fail at every width)."""
+        sub = B // 2
+        while sub >= self._PALLAS_CHUNKED_MIN_B:
+            if self._use_pallas_decode(sub, prior_t, n_steps, argmax=argmax):
+                return sub
+            sub //= 2
+        return None
 
     _PALLAS_CHUNK = 2048
     _PALLAS_CHUNK_MIN = 256
@@ -708,6 +750,27 @@ class SampleRNN(ARMWithHidden):
             and self._use_pallas_decode(B, prior_t, chunk_steps, argmax=argmax)
         )
         if not usable:
+            sub = (
+                prior_t >= self.rf
+                and self._pallas_batch_split(
+                    B, prior_t, chunk_steps, argmax=argmax
+                )
+            )
+            if sub:
+                # batch too wide for one kernel: zip per-slice fused
+                # streams — each carries its own exact on-chip state, so
+                # the concatenated stream stays chunk-exact per stream
+                starts = range(0, B, sub)
+                keys = jax.random.split(rng, len(starts))
+                subs = [
+                    self.stream(
+                        (prompt[i : i + sub],), chunk_steps,
+                        temperature=temperature, rng=k,
+                    )
+                    for i, k in zip(starts, keys)
+                ]
+                while True:
+                    yield np.concatenate([next(s) for s in subs], axis=0)
             from ..loops.streaming import _refeed_stream
 
             yield from _refeed_stream(

@@ -299,3 +299,29 @@ def test_pallas_bf16_weight_mode_decodes(force_pallas, monkeypatch):
     b = np.asarray(net.generate(prompts, n_steps=40, temperature=None)[0])
     agree = float((a == b).mean())
     assert agree > 0.5, f"bf16 tokens diverged wholesale: {agree}"
+
+
+def test_batch_split_pallas_matches_scan_exactly(force_pallas, monkeypatch):
+    """A batch wider than the kernel's VMEM envelope decodes as pipelined
+    sub-batch kernel dispatches (streams are independent) — argmax tokens
+    must equal the scan decoder's for the whole batch."""
+    net = _net()
+    B, prior_t, n_steps = 8, 16, 40
+    prompts = (np.random.randint(0, 32, (B, prior_t)).astype(np.int32),)
+    net._ensure_params(prompts)
+
+    real_mode = type(net)._pallas_mode
+    monkeypatch.setattr(
+        type(net),
+        "_pallas_mode",
+        lambda self, b, p, n: None if b > 2 else real_mode(self, b, p, n),
+    )
+    monkeypatch.setattr(type(net), "_PALLAS_CHUNKED_MIN_B", 1)
+    assert not net._use_pallas_decode(B, prior_t, n_steps, argmax=True)
+    assert net._pallas_batch_split(B, prior_t, n_steps, argmax=True) == 2
+    a = np.asarray(net.generate(prompts, n_steps=n_steps, temperature=None)[0])
+
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    b = np.asarray(net.generate(prompts, n_steps=n_steps, temperature=None)[0])
+    assert a.shape == b.shape == (B, prior_t + n_steps)
+    assert np.array_equal(a, b)

@@ -173,3 +173,44 @@ def test_stream_auto_initializes_params(monkeypatch):
     chunk = next(iter(net.stream((prompt,), 8, temperature=None)))
     assert chunk.shape == (2, 8)
     assert net.params is not None
+
+
+def test_samplernn_batch_split_stream_matches_long_decode(monkeypatch):
+    """A stream batch past the fused kernel's VMEM envelope zips per-slice
+    fused streams, each carrying exact on-chip state — the concatenation
+    must still be token-identical to one long decode."""
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "1")
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(
+            frame_sizes=(4, 2, 2), hidden_dim=16, io_spec=_mulaw_io()
+        )
+    )
+    net.seed(0)
+    B, prior_t, chunk, n_chunks = 4, 8, 16, 2
+    prompt = np.random.RandomState(5).randint(0, 64, (B, prior_t)).astype(
+        np.int32
+    )
+    net.init_params(batch_size=B, batch_length=32)
+
+    real_mode = type(net)._pallas_mode
+    monkeypatch.setattr(
+        type(net),
+        "_pallas_mode",
+        lambda self, b, p, n: None if b > 2 else real_mode(self, b, p, n),
+    )
+    monkeypatch.setattr(type(net), "_PALLAS_CHUNKED_MIN_B", 1)
+    chunks = list(
+        itertools.islice(
+            net.stream((prompt,), chunk, temperature=None), n_chunks
+        )
+    )
+    assert all(c.shape == (B, chunk) for c in chunks)
+    streamed = np.concatenate(chunks, axis=1)
+
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    long = np.asarray(
+        net.generate(
+            (prompt,), n_steps=n_chunks * chunk, temperature=None
+        )[0]
+    )[:, prior_t:]
+    np.testing.assert_array_equal(streamed, long)
