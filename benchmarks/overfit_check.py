@@ -30,7 +30,9 @@ BASELINE.json workload config has a falsifiable acoustic check on real
 hardware.
 
 ``BENCH_NET=jukebox`` runs the hierarchical transformer tiers over
-mu-law samples.  ``BENCH_NET=poconet`` trains the phase-prediction net
+mu-law samples.  ``BENCH_NET=wavegan`` trains the WGAN-GP pair on the
+tone and checks UNCONDITIONAL latent samples carry it (the adversarial
+family).  ``BENCH_NET=poconet`` trains the phase-prediction net
 on STFT frames and inverts its free-run with the PREDICTED phases
 (direct ISTFT — no Griffin-Lim); ``BENCH_NET=multis2s`` autoencodes the
 tone's magnitude frames through the v1 seq2seq hierarchy's bottleneck.
@@ -144,6 +146,125 @@ def _report(name, audio, sr, freq, extra="", tol=25.0):
         )
     )
     print(f"# {extra} target={freq}Hz ok={ok}", file=sys.stderr)
+    if not ok:
+        sys.exit(1)
+
+
+def _wavegan_check(mmk, cfg, sr, freq):
+    """Train WaveGAN (WGAN-GP) on the tone and check that UNCONDITIONAL
+    samples drawn from latent noise carry it — the one zoo family whose
+    acoustic proof is adversarial rather than autoregressive.  The whole
+    critic*5+generator cycle runs as a ``lax.scan`` on device (the tone is
+    uploaded once and sliced with ``dynamic_slice``), so a dispatch covers
+    K cycles instead of paying tunnel latency per update."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mimikit_tpu.networks.wave_gan import make_wavegan_steps
+
+    smoke = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+    sig = np.asarray(cfg.get(mode="r").signal[:]).astype(np.float32)
+
+    # classic-WaveGAN scale: the generator's head width is
+    # model_size * prod(up_sample) (reference wave_gan.py:73), so deep
+    # up_sample stacks inflate params 16x past the published model —
+    # 3 blocks of 4 with t0=64 keeps the same 4096-sample slice at sane
+    # kernel sizes (biggest: 25x512x256)
+    gan = mmk.WaveGAN.from_config(
+        mmk.WaveGAN.Config(
+            latent_dim=100, model_size=8, kernel_size=25, t0=64,
+            up_sample=(4, 4, 4), post_proc_filt_len=512,
+        )
+    )
+    batch, n_critic = 32, 5
+    gan.init_params(batch_size=batch)
+    g_opt = optax.adam(1e-4, b1=0.5, b2=0.9)
+    d_opt = optax.adam(1e-4, b1=0.5, b2=0.9)
+    g_state = g_opt.init(gan.gen_params["params"])
+    d_state = d_opt.init(gan.disc_params["params"])
+    d_step, g_step = make_wavegan_steps(gan, g_opt, d_opt, g_batch=batch)
+
+    L = gan.config.slice_length
+    sig_dev = jnp.asarray(sig)
+    n_slices = len(sig) - L
+    K = 2 if smoke else 50
+
+    @jax.jit
+    def k_cycles(disc_vars, d_state, gen_vars, g_state, keys):
+        def critic_step(carry, ks2):
+            disc_vars, d_state, gen_vars = carry
+            starts = jax.random.randint(ks2[0], (batch,), 0, n_slices)
+            real = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(sig_dev, (s,), (L,))
+            )(starts)[..., None]
+            disc_vars, d_state, dl = d_step(
+                disc_vars, d_state, gen_vars, real, ks2[1]
+            )
+            return (disc_vars, d_state, gen_vars), dl
+
+        def cycle(carry, k):
+            disc_vars, d_state, gen_vars, g_state = carry
+            ks = jax.random.split(k, 2 * n_critic + 1)
+            # scan the critic's inner loop too: an unrolled body would
+            # trace 5 full WGAN-GP double-grad graphs per cycle
+            (disc_vars, d_state, _), dls = jax.lax.scan(
+                critic_step,
+                (disc_vars, d_state, gen_vars),
+                ks[:-1].reshape(n_critic, 2, -1),
+            )
+            gen_vars, g_state, gl = g_step(
+                gen_vars, g_state, disc_vars, ks[-1]
+            )
+            return (disc_vars, d_state, gen_vars, g_state), (dls[-1], gl)
+
+        carry, losses = jax.lax.scan(
+            cycle, (disc_vars, d_state, gen_vars, g_state), keys
+        )
+        return carry, losses
+
+    dv, gv = gan.disc_params, gan.gen_params
+    key = jax.random.PRNGKey(42)
+    n_dispatch = 1 if smoke else 40
+    for j in range(n_dispatch):
+        key, sub = jax.random.split(key)
+        (dv, d_state, gv, g_state), losses = k_cycles(
+            dv, d_state, gv, g_state, jax.random.split(sub, K)
+        )
+        if j % 8 == 0 or j == n_dispatch - 1:
+            dl = float(jnp.asarray(losses[0])[-1])
+            gl = float(jnp.asarray(losses[1])[-1])
+            print(f"# cycles={K * (j + 1)} d={dl:.4f} g={gl:.4f}",
+                  file=sys.stderr)
+
+    z = jax.random.normal(jax.random.PRNGKey(7), (16, gan.config.latent_dim))
+    sample = jax.jit(lambda v, z: gan.generator.apply(v, z, train=False))
+    fakes = np.asarray(sample(gv, z))[..., 0]
+    # independent draws differ only by phase: pool their spectra
+    spec = np.abs(np.fft.rfft(fakes * np.hanning(L), axis=-1)).sum(axis=0)
+    audio = fakes[0]
+    freqs = np.fft.rfftfreq(L, 1 / sr)
+    spec[0] = 0.0
+    dominant = float(freqs[spec.argmax()])
+    tol = float(sr) if smoke else 25.0
+    ok = abs(dominant - freq) < tol
+    print(
+        json.dumps(
+            {
+                "metric": "wavegan_tone_dominant_freq_hz",
+                "value": round(dominant, 1),
+                "unit": "Hz",
+                "vs_baseline": round(dominant / freq, 3),
+                "note": "unconditional WGAN-GP samples (pooled spectrum "
+                        "over 16 latent draws)",
+            }
+        )
+    )
+    print(
+        f"# wavegan cycles={K * n_dispatch} target={freq}Hz ok={ok} "
+        f"rms={float(np.sqrt((audio ** 2).mean())):.3f}",
+        file=sys.stderr,
+    )
     if not ok:
         sys.exit(1)
 
@@ -343,6 +464,9 @@ def main():
         return
     if which == "poconet":
         _poconet_check(mmk, cfg, sr, freq)
+        return
+    if which == "wavegan":
+        _wavegan_check(mmk, cfg, sr, freq)
         return
     if which == "multis2s":
         _multis2s_check(mmk, cfg, sr, freq)

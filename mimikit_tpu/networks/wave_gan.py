@@ -42,6 +42,7 @@ if TYPE_CHECKING:
     from ..io_spec import IOSpec
 
 from .arm import NetworkConfig
+from ..ops.framed_conv import FramedConv, FramedConvTranspose
 
 __all__ = [
     "WaveGANGenerator",
@@ -81,11 +82,14 @@ class _GenUpBlock(nn.Module):
             k = self.kernel_size
             pad = (k // 2, k // 2) if k % 2 == 1 else (k // 2 - 1, k // 2)
             x = jnp.pad(x, ((0, 0), pad, (0, 0)), mode="reflect")
-            x = nn.Conv(self.out_channels, (self.kernel_size,), padding="VALID")(x)
+            x = FramedConv(
+                self.out_channels, self.kernel_size, padding="VALID",
+                name="Conv_0",
+            )(x)
         else:
-            x = nn.ConvTranspose(
-                self.out_channels, (self.kernel_size,),
-                strides=(self.up_sample,), padding="SAME",
+            x = FramedConvTranspose(
+                self.out_channels, self.kernel_size,
+                strides=self.up_sample, name="ConvTranspose_0",
             )(x)
         if self.use_batch_norm:
             x = nn.BatchNorm(use_running_average=not train)(x)
@@ -131,7 +135,7 @@ class WaveGANGenerator(nn.Module):
         L = self.post_proc_filt_len
         pad = (L // 2, L // 2 - 1) if L % 2 == 0 else ((L - 1) // 2, (L - 1) // 2)
         x = jnp.pad(x, ((0, 0), pad, (0, 0)))
-        x = nn.Conv(self.n_channels, (L,), padding="VALID", name="ppfilt")(x)
+        x = FramedConv(self.n_channels, L, padding="VALID", name="ppfilt")(x)
         return jnp.tanh(x)
 
 
@@ -146,9 +150,9 @@ class _DiscBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.out_channels, (self.kernel_size,), strides=(self.down_sample,),
-            padding="SAME",
+        x = FramedConv(
+            self.out_channels, self.kernel_size, strides=self.down_sample,
+            padding="SAME", name="Conv_0",
         )(x)
         if self.use_batch_norm:
             x = nn.BatchNorm(use_running_average=not train)(x)
@@ -244,9 +248,11 @@ class WaveGAN:
         rng = jax.random.PRNGKey(0) if rng is None else rng
         kg, kd = jax.random.split(rng)
         z = jnp.zeros((batch_size, self._config.latent_dim))
-        self.gen_params = self.generator.init(kg, z)
+        # jit the inits: un-jitted tracing dispatches one op at a time,
+        # which is seconds of pure latency through the TPU tunnel
+        self.gen_params = jax.jit(self.generator.init)(kg, z)
         x = jnp.zeros((batch_size, self._config.slice_length, self._config.n_channels))
-        self.disc_params = self.discriminator.init(
+        self.disc_params = jax.jit(self.discriminator.init)(
             {"params": kd, "shuffle": kd}, x
         )
         return self.gen_params, self.disc_params
@@ -304,15 +310,20 @@ def make_wavegan_steps(gan: WaveGAN, g_opt, d_opt, gp_weight: float = 10.0,
         def loss_fn(p):
             (d_real, new_aux) = _d_apply(p, daux, real, ks)
             (d_fake, new_aux) = _d_apply(p, new_aux, fake, ks)
-            # gradient penalty on interpolates (critic 1-Lipschitz)
+            # gradient penalty on interpolates (critic 1-Lipschitz).
+            # eval-mode critic outputs are per-sample independent, so the
+            # per-sample grads WGAN-GP needs are exactly the grad of the
+            # batch SUM — one batched backward pass.  (A vmap-of-grad
+            # spelling is numerically identical but blows the XLA graph
+            # up ~batch-fold: compile goes from seconds to minutes.)
             eps = jax.random.uniform(ku, (real.shape[0], 1, 1))
             interp = eps * real + (1.0 - eps) * fake
 
-            def critic(x_single):
-                out, _ = _d_apply(p, new_aux, x_single[None], ki, train=False)
-                return out[0, 0]
+            def critic_sum(x):
+                out, _ = _d_apply(p, new_aux, x, ki, train=False)
+                return out.sum()
 
-            grads = jax.vmap(jax.grad(critic))(interp)
+            grads = jax.grad(critic_sum)(interp)
             gnorm = jnp.sqrt(jnp.sum(grads ** 2, axis=(1, 2)) + 1e-12)
             gp = ((gnorm - 1.0) ** 2).mean()
             loss = d_fake.mean() - d_real.mean() + gp_weight * gp
