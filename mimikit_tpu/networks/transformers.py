@@ -833,23 +833,131 @@ class JukeBox(_StatefulTransformerARM):
     def _window_len(self) -> int:
         return self._default_init_len()
 
+    # -- fused Pallas decode (ops/pallas_decode.py) ---------------------------
+    def _use_pallas_decode(
+        self, B: int, n_steps: int, argmax: bool = True
+    ) -> bool:
+        import os
+
+        flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
+        if flag == "0" or getattr(self, "_pallas_disabled", False):
+            return False
+        from ..ops.pallas_decode import supports_pallas_jukebox
+
+        if not supports_pallas_jukebox(self):
+            return False
+        if jax.default_backend() == "cpu" and (flag != "1" or not argmax):
+            return False
+        # like the flat transformer's kernel, this is the LOW-LATENCY
+        # single-stream path: per-stream attention serializes over B
+        # while the window scan batches streams into wide MXU matmuls
+        if B != 1:
+            return False
+        c = self._config
+        W = self._window_len()
+        if 3 * 4 * W * max(c.feedforward_dim, c.model_dim) > 14 * 2**20:
+            return False
+        w_bytes = 4 * sum(
+            int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(self.params)
+        )
+        return w_bytes + 4 * B * n_steps < 100 * 2**20
+
+    def _pallas_generate(self, prompts, n_steps, temperature, rng):
+        from ..ops.pallas_decode import (
+            jukebox_weight_pack,
+            make_jukebox_pallas_decoder,
+        )
+
+        x = jnp.asarray(prompts[0])
+        B, Tp = x.shape
+        W = self._window_len()
+        pad = max(W - Tp, 0)
+        if pad:
+            x = jnp.concatenate([jnp.zeros((B, pad), x.dtype), x], axis=1)
+        argmax = temperature is None
+        c = self._config
+        t_mod = c.io_spec.targets[0].module
+        q = c.io_spec.inputs[0].elem_type.size
+        n_head_dense = 0
+        core = self.params["output_modules_0"]["estimator"]["core"]
+        while f"Dense_{n_head_dense}" in core:
+            n_head_dense += 1
+        key = ("pallas", B, Tp + pad, n_steps, argmax)
+        if key not in self._decoders:
+            dec = make_jukebox_pallas_decoder(
+                tuple(c.frame_sizes),
+                c.model_dim,
+                c.n_heads,
+                c.feedforward_dim,
+                c.num_layers,
+                W,
+                q,
+                n_head_dense,
+                float(t_mod.min_temperature),
+                str(c.layer_activation),
+                int(c.positional_encoding),
+                B,
+                n_steps,
+                argmax,
+                interpret=jax.default_backend() == "cpu",
+            )
+            n_tiers, L = len(c.frame_sizes), c.num_layers
+
+            @jax.jit
+            def run(params, xp, rng, temp):
+                w = jukebox_weight_pack(params, n_tiers, L)
+                seed = jax.random.randint(
+                    rng, (), 0, np.iinfo(np.int32).max
+                )
+                # decode lead 1: the window's last slot is the (never
+                # read) placeholder for the position being predicted
+                win0 = jnp.concatenate(
+                    [
+                        xp[:, -(W - 1) :].astype(jnp.int32),
+                        jnp.zeros((B, 1), jnp.int32),
+                    ],
+                    axis=1,
+                )
+                return dec(w, win0, seed, temp)
+
+            self._decoders[key] = run
+        temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        tokens = self._decoders[key](self.params, x, rng, temp)
+        return (
+            jnp.concatenate(
+                [x[:, pad:], tokens.astype(x.dtype)], axis=1
+            ),
+        )
+
     def generate(self, prompts: Tuple, n_steps: int, temperature=None,
                  rng=None):
         """Sliding-window scan decode (see ``_make_window_decoder``).
         Prompts shorter than the window are left-padded with zeros (the
-        same convention WaveNet's fast decode uses for short prompts)."""
+        same convention WaveNet's fast decode uses for short prompts).
+        Single streams in the supported configuration run the whole AR
+        loop in one fused Pallas kernel (``make_jukebox_pallas_decoder``),
+        token-exact vs this scan in argmax mode."""
         self._ensure_params(prompts)
         x = jnp.asarray(prompts[0])
         B, Tp = x.shape
         if rng is None:
             rng = self.next_rng()
+        argmax = temperature is None
+        if self._use_pallas_decode(B, n_steps, argmax=argmax):
+            from ..ops.pallas_decode import pallas_generate_or_fallback
+
+            out = pallas_generate_or_fallback(
+                self, prompts, n_steps, temperature, rng
+            )
+            if out is not None:
+                return out
         win = self._window_len()
         pad = max(win - Tp, 0)
         if pad:
             x = jnp.concatenate(
                 [jnp.zeros((B, pad), x.dtype), x], axis=1
             )
-        argmax = temperature is None
         temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
         dec = self._make_window_decoder(B, Tp + pad, n_steps, x.dtype, argmax)
         out = dec(self.params, x, rng, temp)

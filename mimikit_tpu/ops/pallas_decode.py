@@ -39,6 +39,9 @@ __all__ = [
     "supports_pallas_transformer",
     "transformer_weight_pack",
     "make_transformer_pallas_decoder",
+    "supports_pallas_jukebox",
+    "jukebox_weight_pack",
+    "make_jukebox_pallas_decoder",
 ]
 
 
@@ -1055,6 +1058,419 @@ def make_transformer_pallas_decoder(
             jnp.asarray(seed, jnp.int32).reshape(1),
             window.astype(jnp.int32),
             jnp.asarray(pe_win),
+            *weights,
+        )
+        return out_t.T  # (B, n_steps)
+
+    return fn
+
+
+def supports_pallas_jukebox(net) -> bool:
+    """True for the standard JukeBox shape: framed-linear mu-law inputs,
+    Mish/ReLU post-norm tier blocks with sinusoidal PE, linear up-samplers,
+    framed-conv bottom tier and one learned-temperature MLP head — exactly
+    the configuration ``JukeBox.from_config`` builds from ``mulaw_io``
+    (reference semantics ``transformers.py:262-421`` in the reference).
+    ``ref_compat`` is excluded: its Conv1dResampler scramble permutes the
+    bottom input in a way the kernel does not reproduce."""
+    cfg = net.config
+    if type(net).__name__ != "JukeBox":
+        return False
+    try:
+        from ..features.functionals import Discrete
+        from ..modules.io import FramedLinearIO
+    except Exception:  # pragma: no cover
+        return False
+    if getattr(cfg, "ref_compat", False) or getattr(cfg, "weight_norm", False):
+        return False
+    if cfg.with_layer_norm or cfg.norm_first or cfg.dropout:
+        return False
+    if cfg.positional_encoding is None:
+        return False
+    if str(cfg.layer_activation) not in ("Mish", "ReLU"):
+        return False
+    if cfg.model_dim % cfg.n_heads != 0 or len(cfg.frame_sizes) < 2:
+        return False
+    fs = tuple(cfg.frame_sizes)
+    W = net._window_len()
+    if (W - fs[0]) <= 0:
+        return False
+    for i, f in enumerate(fs[:-1]):
+        if (W - fs[0]) % f:
+            return False
+        nxt = fs[i + 1] if i < len(fs) - 2 else 1
+        if f % nxt:
+            return False
+    io = cfg.io_spec
+    if len(io.inputs) != 1 or len(io.targets) != 1:
+        return False
+    if not isinstance(io.inputs[0].elem_type, Discrete):
+        return False
+    if not isinstance(io.inputs[0].module, FramedLinearIO):
+        return False
+    act = getattr(io.inputs[0].module, "activation", None)
+    if act is not None and str(getattr(act, "act", "Identity")) != "Identity":
+        return False
+    t_mod = io.targets[0].module
+    if type(t_mod).__name__ != "MLPIO" or t_mod.min_temperature is None:
+        return False
+    if getattr(t_mod, "weight_norm", False):
+        return False
+    obj = io.targets[0].objective
+    if str(getattr(obj, "objective_type", "")) != "categorical_dist":
+        return False
+    return True
+
+
+def jukebox_weight_pack(params, n_tiers: int, num_layers: int):
+    """Flatten the JukeBox param tree into the kernel's argument list:
+    per non-bottom tier [input Dense, stacked attn/ln/ffn layers, up
+    Dense], then the bottom framed Dense, then the MLP head.  Layer
+    stacking/flattening conventions match ``transformer_weight_pack``."""
+    L = num_layers
+
+    def attn(tp, i, name):
+        a = tp["model"][f"block{i}"][name]
+        d = a["out"]["kernel"].shape[-1]
+        per = []
+        for part in ("query", "key", "value"):
+            per += [
+                a[part]["kernel"].reshape(d, -1),
+                a[part]["bias"].reshape(1, -1),
+            ]
+        per += [
+            a["out"]["kernel"].reshape(-1, d),
+            a["out"]["bias"].reshape(1, -1),
+        ]
+        return per
+
+    def stack(getter):
+        return [
+            jnp.stack([getter(i)[k] for i in range(L)])
+            for k in range(len(getter(0)))
+        ]
+
+    out = []
+    for t in range(n_tiers - 1):
+        tp = params[f"tiers_{t}"]
+        din = tp["input_module"]["heads_0"]["core"]["Dense_0"]
+        out += [din["kernel"], din["bias"].reshape(1, -1)]
+        out += stack(lambda i, tp=tp: attn(tp, i, "self_attn"))
+        out += stack(lambda i, tp=tp: attn(tp, i, "cross_attn"))
+        out += stack(
+            lambda i, tp=tp: [
+                tp["model"][f"block{i}"][f"ln{k}"][p].reshape(1, -1)
+                for k in (1, 2, 3)
+                for p in ("scale", "bias")
+            ]
+        )
+        out += stack(
+            lambda i, tp=tp: [
+                tp["model"][f"block{i}"]["Dense_0"]["kernel"],
+                tp["model"][f"block{i}"]["Dense_0"]["bias"].reshape(1, -1),
+                tp["model"][f"block{i}"]["Dense_1"]["kernel"],
+                tp["model"][f"block{i}"]["Dense_1"]["bias"].reshape(1, -1),
+            ]
+        )
+        up = tp["up_sampler"]["Dense_0"]
+        out += [up["kernel"], up["bias"].reshape(1, -1)]
+    bot = params[f"tiers_{n_tiers - 1}"]["input_module"]["heads_0"]["core"]
+    bot = bot["Conv1dResampler_0"]["Dense_0"]
+    out += [bot["kernel"], bot["bias"].reshape(1, -1)]
+    core = params["output_modules_0"]["estimator"]["core"]
+    k = 0
+    while f"Dense_{k}" in core:
+        dd = core[f"Dense_{k}"]
+        out += [dd["kernel"], dd["bias"][None, :]]
+        k += 1
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def make_jukebox_pallas_decoder(
+    frame_sizes: Tuple[int, ...],
+    model_dim: int,
+    n_heads: int,
+    feedforward_dim: int,
+    num_layers: int,
+    window: int,
+    q_levels: int,
+    n_head_dense: int,
+    min_temperature: float,
+    layer_activation: str,
+    pe_max_len: int,
+    B: int,
+    n_steps: int,
+    argmax: bool,
+    interpret: bool = False,
+):
+    """Whole-AR-loop fused decode for JukeBox's tier pyramid.
+
+    Reproduces the sliding-window scan decoder step for step (incl. the
+    one-token decode lead, ``JukeBox._decode_win_lead``): linearize the
+    window, run every non-bottom tier (framed Dense → +upper → +PE →
+    post-norm self/cross/FFN blocks → tanh → linear up-sample), then —
+    because eval only reads the LAST bottom position — one framed Dense
+    over the window's final ``fs_bottom`` tokens plus the last up-sampled
+    row, the learned-temperature MLP head, and the sampled token shifts
+    the window.  All weights stay in VMEM across the generation; the only
+    carried state is the (B, W) token window whose final slot is the
+    never-read placeholder for the position being predicted.
+
+    Returns ``fn(weights_list, window_i32 (B, W), seed, temp) ->
+    (B, n_steps) int32`` (generated tokens only).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    fs = tuple(int(f) for f in frame_sizes)
+    fs0 = fs[0]
+    d = model_dim
+    nH = n_heads
+    dH = d // nH
+    ff = feedforward_dim
+    L = num_layers
+    Q = q_levels
+    W = window
+    n_up = len(fs) - 1  # non-bottom tiers
+    span = W - fs0  # tokens each tier reads past its leading context
+    n_frames = [span // f for f in fs[:-1]]
+    t_up = [
+        fs[i] // (fs[i + 1] if i < n_up - 1 else 1) for i in range(n_up)
+    ]
+    fs_b = fs[-1]
+    # 2 input-Dense + per-layer (8 self + 8 cross + 6 ln + 4 ffn) + 2 up
+    per_tier = 2 + 26 + 2
+    n_weights = n_up * per_tier + 2 + 2 * n_head_dense
+
+    from ..networks.transformers import sinusoidal_pe
+
+    pe_tabs = [
+        np.tile(sinusoidal_pe(pe_max_len, d)[:n], (B, 1))
+        for n in n_frames
+    ]  # per tier: (B*n_i, d)
+    big_neg = float(np.finfo(np.float32).min)
+    inv_sqrt_dh = 1.0 / float(np.sqrt(dH))
+
+    def kernel(temp_ref, seed_ref, win0_ref, *refs):
+        pes = list(refs[: n_up])
+        w = list(refs[n_up : n_up + n_weights])
+        out_ref = refs[n_up + n_weights]
+        win_ref = refs[n_up + n_weights + 1]
+
+        tiers = []
+        for _ in range(n_up):
+            tiers.append(
+                dict(
+                    w_in=w.pop(0), b_in=w.pop(0),
+                    self_w=[w.pop(0) for _ in range(8)],
+                    cross_w=[w.pop(0) for _ in range(8)],
+                    ln_w=[w.pop(0) for _ in range(6)],
+                    ffn_w=[w.pop(0) for _ in range(4)],
+                    w_up=w.pop(0), b_up=w.pop(0),
+                )
+            )
+        w_bot, b_bot = w.pop(0), w.pop(0)
+        head = w
+
+        if not argmax:
+            pltpu.prng_seed(seed_ref[0])
+        win_ref[:] = win0_ref[:]
+
+        def layer_norm(x, scale, bias):
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            mean2 = jnp.mean(x * x, axis=-1, keepdims=True)
+            var = jnp.maximum(0.0, mean2 - mean * mean)
+            return (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+        def mish(v):
+            return v * jnp.tanh(jax.nn.softplus(v))
+
+        ffn_act = mish if layer_activation == "Mish" else (
+            lambda v: jnp.maximum(v, 0.0)
+        )
+
+        def attention(x, kv, l, wset, n):
+            Wq, bq, Wk, bk, Wv, bv, Wo, bo = (t[l] for t in wset)
+            q = jnp.dot(x, Wq, preferred_element_type=jnp.float32) + bq
+            k = jnp.dot(kv, Wk, preferred_element_type=jnp.float32) + bk
+            v = jnp.dot(kv, Wv, preferred_element_type=jnp.float32) + bv
+            q = q * inv_sqrt_dh
+            row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+            causal = row >= col
+            stream_outs = []
+            for s in range(B):
+                r0 = s * n
+                head_outs = []
+                for h in range(nH):
+                    c0 = h * dH
+                    qh = q[r0 : r0 + n, c0 : c0 + dH]
+                    kh = k[r0 : r0 + n, c0 : c0 + dH]
+                    vh = v[r0 : r0 + n, c0 : c0 + dH]
+                    sc = jax.lax.dot_general(
+                        qh, kh,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    sc = jnp.where(causal, sc, big_neg)
+                    p = jax.nn.softmax(sc, axis=-1)
+                    head_outs.append(
+                        jnp.dot(p, vh, preferred_element_type=jnp.float32)
+                    )
+                stream_outs.append(jnp.concatenate(head_outs, axis=1))
+            a = (
+                stream_outs[0]
+                if B == 1
+                else jnp.concatenate(stream_outs, axis=0)
+            )
+            return jnp.dot(a, Wo, preferred_element_type=jnp.float32) + bo
+
+        def body(t, _):
+            toks = win_ref[:]  # (B, W) int32
+            lin = (toks.astype(jnp.float32) / Q - 0.5) * 2.0
+
+            x_up = None  # (B*n_next, d) rows for the tier below
+            for i in range(n_up):
+                tw = tiers[i]
+                f, n = fs[i], n_frames[i]
+                seg = lin[:, fs0 - f : W - f]  # (B, span)
+                if B == 1:
+                    x = seg.reshape(n, f)
+                else:
+                    x = jnp.concatenate(
+                        [seg[s : s + 1, :].reshape(n, f) for s in range(B)],
+                        axis=0,
+                    )  # (B*n, f)
+                x = (
+                    jnp.dot(
+                        x, tw["w_in"][:], preferred_element_type=jnp.float32
+                    )
+                    + tw["b_in"][:]
+                )
+                if x_up is not None:
+                    x = x + x_up
+                x = x + pes[i][:]
+                memory = x
+                for l in range(L):
+                    x = layer_norm(
+                        x + attention(x, x, l, tw["self_w"], n),
+                        tw["ln_w"][0][l], tw["ln_w"][1][l],
+                    )
+                    x = layer_norm(
+                        x + attention(x, memory, l, tw["cross_w"], n),
+                        tw["ln_w"][2][l], tw["ln_w"][3][l],
+                    )
+                    h = (
+                        jnp.dot(
+                            x, tw["ffn_w"][0][l],
+                            preferred_element_type=jnp.float32,
+                        )
+                        + tw["ffn_w"][1][l]
+                    )
+                    h = ffn_act(h)
+                    x = layer_norm(
+                        x
+                        + jnp.dot(
+                            h, tw["ffn_w"][2][l],
+                            preferred_element_type=jnp.float32,
+                        )
+                        + tw["ffn_w"][3][l],
+                        tw["ln_w"][4][l], tw["ln_w"][5][l],
+                    )
+                x = jnp.tanh(x)
+                up = (
+                    jnp.dot(
+                        x, tw["w_up"][:], preferred_element_type=jnp.float32
+                    )
+                    + tw["b_up"][:]
+                )  # (B*n, t_i*d)
+                x_up = up.reshape(B * n * t_up[i], d)
+
+            # bottom tier: eval reads only the LAST framed position —
+            # the final fs_b real tokens (the window's last slot is the
+            # placeholder, never read) plus the last up-sampled row
+            bot_in = lin[:, W - 1 - fs_b : W - 1]  # (B, fs_b)
+            bot = (
+                jnp.dot(bot_in, w_bot[:], preferred_element_type=jnp.float32)
+                + b_bot[:]
+            )  # (B, d)
+            if B == 1:
+                up_last = x_up[span - 1 : span, :]
+            else:
+                up_last = jnp.concatenate(
+                    [
+                        x_up[s * span + span - 1 : s * span + span, :]
+                        for s in range(B)
+                    ],
+                    axis=0,
+                )
+            hh = bot + up_last
+            for kk in range(n_head_dense - 1):
+                hh = mish(
+                    jnp.dot(
+                        hh, head[2 * kk][:],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + head[2 * kk + 1][:]
+                )
+            logits = (
+                jnp.dot(hh, head[-2][:], preferred_element_type=jnp.float32)
+                + head[-1][:]
+            )  # (B, Q + 1)
+            l_temp = jax.nn.sigmoid(logits[:, Q : Q + 1])
+            logits = logits[:, :Q] / jnp.maximum(l_temp, min_temperature)
+
+            if argmax:
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                logits = logits / temp_ref[0, 0]
+                bits = pltpu.prng_random_bits((B, Q))
+                b24 = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+                )
+                u = b24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+                gumbel = -jnp.log(-jnp.log(u))
+                tok = jnp.argmax(logits + gumbel, axis=-1).astype(jnp.int32)
+
+            out_ref[pl.ds(t, 1), :] = tok[None, :]
+            # next window: drop the oldest token, the generated token
+            # fills the old placeholder slot, fresh placeholder appended
+            win_ref[:] = jnp.concatenate(
+                [
+                    win_ref[:, 1 : W - 1],
+                    tok[:, None],
+                    jnp.zeros((B, 1), jnp.int32),
+                ],
+                axis=1,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, body, 0, unroll=False)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_steps, B), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # temperature
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # initial window (B, W)
+            *[
+                pl.BlockSpec(memory_space=pltpu.VMEM)
+                for _ in range(n_up + n_weights)
+            ],
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, W), jnp.int32)],
+        interpret=interpret,
+    )
+
+    def fn(weights, window_toks, seed, temperature):
+        out_t = call(
+            jnp.asarray(temperature, jnp.float32).reshape(1, 1),
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            window_toks.astype(jnp.int32),
+            *[jnp.asarray(p) for p in pe_tabs],
             *weights,
         )
         return out_t.T  # (B, n_steps)

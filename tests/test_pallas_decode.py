@@ -325,3 +325,103 @@ def test_batch_split_pallas_matches_scan_exactly(force_pallas, monkeypatch):
     b = np.asarray(net.generate(prompts, n_steps=n_steps, temperature=None)[0])
     assert a.shape == b.shape == (B, prior_t + n_steps)
     assert np.array_equal(a, b)
+
+
+def _jukebox(q=32, frame_sizes=(8, 4, 2), rf=16):
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(q_levels=q, mlp_dim=16, n_mlp_layers=1)
+    )
+    jb = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=io, frame_sizes=frame_sizes, model_dim=32, n_heads=4,
+            feedforward_dim=64, num_layers=2, rf=rf, input_dropout=0.0,
+        )
+    )
+    jb.seed(0)
+    return jb
+
+
+@pytest.mark.parametrize(
+    "frame_sizes,B", [((8, 4, 2), 1), ((8, 2), 1), ((8, 4, 2), 2)]
+)
+def test_pallas_jukebox_argmax_matches_window_scan_exactly(
+    force_pallas, monkeypatch, frame_sizes, B
+):
+    import jax
+
+    jb = _jukebox(frame_sizes=frame_sizes)
+    W = jb._window_len()
+    prompts = (np.random.randint(0, 32, (B, W)).astype(np.int32),)
+    jb._ensure_params(prompts)
+    _jitter_params(jb, scale=0.3)
+    if B == 1:
+        assert jb._use_pallas_decode(B, 40, argmax=True), (
+            "pallas gate refused a supported jukebox config"
+        )
+        a = np.asarray(
+            jb.generate(prompts, n_steps=40, temperature=None,
+                        rng=jax.random.PRNGKey(1))[0]
+        )
+    else:
+        # B>1 routes to the window scan in production — still pin the
+        # kernel's multi-stream parity
+        a = np.asarray(
+            jb._pallas_generate(prompts, 40, None, jax.random.PRNGKey(1))[0]
+        )
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    jb._decoders.clear()
+    b = np.asarray(
+        jb.generate(prompts, n_steps=40, temperature=None,
+                    rng=jax.random.PRNGKey(1))[0]
+    )
+    assert a.shape == b.shape == (B, W + 40)
+    assert np.array_equal(a, b)
+    if len(frame_sizes) > 2:
+        # the 3-tier config must be non-degenerate for the equality to
+        # actually exercise the tier pyramid (a 2-tier 1-frame toy can
+        # legitimately collapse to a constant argmax token)
+        assert len(set(a[0, W:].tolist())) > 1
+
+
+def test_pallas_jukebox_short_prompt_pads_like_the_scan(
+    force_pallas, monkeypatch
+):
+    import jax
+
+    jb = _jukebox()
+    W = jb._window_len()
+    prompts = (np.random.randint(0, 32, (1, W // 2)).astype(np.int32),)
+    jb._ensure_params(prompts)
+    _jitter_params(jb, scale=0.3)
+    a = np.asarray(
+        jb.generate(prompts, n_steps=24, temperature=None,
+                    rng=jax.random.PRNGKey(3))[0]
+    )
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    jb._decoders.clear()
+    b = np.asarray(
+        jb.generate(prompts, n_steps=24, temperature=None,
+                    rng=jax.random.PRNGKey(3))[0]
+    )
+    assert a.shape == b.shape == (1, W // 2 + 24)
+    assert np.array_equal(a, b)
+
+
+def test_pallas_jukebox_gate(force_pallas):
+    from mimikit_tpu.ops.pallas_decode import supports_pallas_jukebox
+
+    jb = _jukebox()
+    assert supports_pallas_jukebox(jb)
+    # ref_compat scrambles the bottom resampler — out of kernel scope
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    jb_rc = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=io, frame_sizes=(8, 4, 2), model_dim=32, n_heads=4,
+            feedforward_dim=64, num_layers=1, rf=16, ref_compat=True,
+        )
+    )
+    assert not supports_pallas_jukebox(jb_rc)
+    # multi-stream routes to the window scan
+    prompts = (np.random.randint(0, 32, (1, 16)).astype(np.int32),)
+    jb._ensure_params(prompts)
+    assert not jb._use_pallas_decode(4, 40, argmax=True)
