@@ -50,6 +50,10 @@ def bench(net, B, n_steps, prior_t, q, flag, reps=3):
         # batches past the kernel's VMEM envelope decode as pipelined
         # sub-batch kernel dispatches — still the fused path
         used_pallas = split(B, prior_t, n_steps, argmax=False) is not None
+    if getattr(net, "_pallas_disabled", False):
+        # routing said yes but the kernel failed at compile/run time and
+        # generate() silently fell back to the scan — report the truth
+        used_pallas = False
     return B * n_steps / dt, dt * 1e6 / n_steps, used_pallas
 
 
@@ -121,9 +125,10 @@ def main():
         ("wavenet10_scan_b64", wn, 64, 2048, wn.rf + 8, "0", 1e6),
         ("transformer8l_pallas_b1", tf, 1, 4096, 64, "auto", 16000.0),
         ("transformer8l_scan_b1", tf, 1, 4096, 64, "0", 16000.0),
-        # hierarchical tiers decode via the shared sliding-window scan
-        # (multi-tier framed-conv pyramid is out of fused-kernel scope)
-        ("jukebox3_win_b1", jb, 1, 4096, 128, "auto", 16000.0),
+        # hierarchical tiers: single streams run the fused tier-pyramid
+        # kernel, wide batches the shared sliding-window scan
+        ("jukebox3_pallas_b1", jb, 1, 4096, 128, "auto", 16000.0),
+        ("jukebox3_win_b1", jb, 1, 4096, 128, "0", 16000.0),
         ("jukebox3_win_b16", jb, 16, 4096, 128, "auto", 16000.0),
     ]
     for name, net, B, n_steps, prior_t, flag, base in cases:

@@ -835,8 +835,12 @@ class JukeBox(_StatefulTransformerARM):
 
     # -- fused Pallas decode (ops/pallas_decode.py) ---------------------------
     def _use_pallas_decode(
-        self, B: int, n_steps: int, argmax: bool = True
+        self, B: int, prior_t: int, n_steps: int, argmax: bool = True
     ) -> bool:
+        # prior_t is part of the shared routing signature; short prompts
+        # are zero-padded to the window (same as the scan), so it never
+        # gates the kernel here
+        del prior_t
         import os
 
         flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
@@ -904,9 +908,16 @@ class JukeBox(_StatefulTransformerARM):
             )
             n_tiers, L = len(c.frame_sizes), c.num_layers
 
+            span = W - c.frame_sizes[0]
+            tier_rows = tuple(
+                B * (span // f) for f in c.frame_sizes[:-1]
+            )
+
             @jax.jit
             def run(params, xp, rng, temp):
-                w = jukebox_weight_pack(params, n_tiers, L)
+                w = jukebox_weight_pack(
+                    params, n_tiers, L, tier_rows, head_rows=B
+                )
                 seed = jax.random.randint(
                     rng, (), 0, np.iinfo(np.int32).max
                 )
@@ -944,7 +955,7 @@ class JukeBox(_StatefulTransformerARM):
         if rng is None:
             rng = self.next_rng()
         argmax = temperature is None
-        if self._use_pallas_decode(B, n_steps, argmax=argmax):
+        if self._use_pallas_decode(B, Tp, n_steps, argmax=argmax):
             from ..ops.pallas_decode import pallas_generate_or_fallback
 
             out = pallas_generate_or_fallback(

@@ -1122,27 +1122,52 @@ def supports_pallas_jukebox(net) -> bool:
     return True
 
 
-def jukebox_weight_pack(params, n_tiers: int, num_layers: int):
+def jukebox_weight_pack(params, n_tiers: int, num_layers: int,
+                        tier_rows: Tuple[int, ...] = (),
+                        head_rows: int = 1):
     """Flatten the JukeBox param tree into the kernel's argument list:
     per non-bottom tier [input Dense, stacked attn/ln/ffn layers, up
     Dense], then the bottom framed Dense, then the MLP head.  Layer
-    stacking/flattening conventions match ``transformer_weight_pack``."""
+    stacking/flattening follows ``transformer_weight_pack``, except the
+    q/k/v projections fuse into one (d, 3d) matmul per attention, and
+    every bias/LN row is PRE-TILED to its consumer's row count
+    (``tier_rows[i]`` = B*n_frames_i, ``head_rows`` = B): Mosaic rejects
+    (1, X) -> (rows, X) sublane broadcasts onto sub-8-row tiles
+    ("Invalid input layout"), so the kernel adds are shape-exact."""
     L = num_layers
+
+    def rows_for(t):
+        return tier_rows[t] if t < len(tier_rows) else 1
+
+    def tile_rows(x, rows):
+        # tile the second-to-last (row) axis: (1, X) -> (rows, X),
+        # stacked (L, 1, X) -> (L, rows, X)
+        reps = (1,) * (x.ndim - 2) + (rows, 1)
+        return jnp.tile(x, reps)
 
     def attn(tp, i, name):
         a = tp["model"][f"block{i}"][name]
         d = a["out"]["kernel"].shape[-1]
-        per = []
-        for part in ("query", "key", "value"):
-            per += [
-                a[part]["kernel"].reshape(d, -1),
-                a[part]["bias"].reshape(1, -1),
-            ]
-        per += [
+        Wqkv = jnp.concatenate(
+            [
+                a[part]["kernel"].reshape(d, -1)
+                for part in ("query", "key", "value")
+            ],
+            axis=1,
+        )
+        bqkv = jnp.concatenate(
+            [
+                a[part]["bias"].reshape(1, -1)
+                for part in ("query", "key", "value")
+            ],
+            axis=1,
+        )
+        return [
+            Wqkv,
+            bqkv,
             a["out"]["kernel"].reshape(-1, d),
             a["out"]["bias"].reshape(1, -1),
         ]
-        return per
 
     def stack(getter):
         return [
@@ -1152,19 +1177,26 @@ def jukebox_weight_pack(params, n_tiers: int, num_layers: int):
 
     out = []
     for t in range(n_tiers - 1):
+        rows = rows_for(t)
         tp = params[f"tiers_{t}"]
         din = tp["input_module"]["heads_0"]["core"]["Dense_0"]
-        out += [din["kernel"], din["bias"].reshape(1, -1)]
-        out += stack(lambda i, tp=tp: attn(tp, i, "self_attn"))
-        out += stack(lambda i, tp=tp: attn(tp, i, "cross_attn"))
-        out += stack(
-            lambda i, tp=tp: [
-                tp["model"][f"block{i}"][f"ln{k}"][p].reshape(1, -1)
-                for k in (1, 2, 3)
-                for p in ("scale", "bias")
-            ]
-        )
-        out += stack(
+        out += [din["kernel"], tile_rows(din["bias"].reshape(1, -1), rows)]
+        for name in ("self_attn", "cross_attn"):
+            a = stack(lambda i, tp=tp, name=name: attn(tp, i, name))
+            a[1] = tile_rows(a[1], rows)  # bqkv
+            a[3] = tile_rows(a[3], rows)  # bo
+            out += a
+        out += [
+            tile_rows(s, rows)
+            for s in stack(
+                lambda i, tp=tp: [
+                    tp["model"][f"block{i}"][f"ln{k}"][p].reshape(1, -1)
+                    for k in (1, 2, 3)
+                    for p in ("scale", "bias")
+                ]
+            )
+        ]
+        ffn = stack(
             lambda i, tp=tp: [
                 tp["model"][f"block{i}"]["Dense_0"]["kernel"],
                 tp["model"][f"block{i}"]["Dense_0"]["bias"].reshape(1, -1),
@@ -1172,16 +1204,19 @@ def jukebox_weight_pack(params, n_tiers: int, num_layers: int):
                 tp["model"][f"block{i}"]["Dense_1"]["bias"].reshape(1, -1),
             ]
         )
+        ffn[1] = tile_rows(ffn[1], rows)
+        ffn[3] = tile_rows(ffn[3], rows)
+        out += ffn
         up = tp["up_sampler"]["Dense_0"]
-        out += [up["kernel"], up["bias"].reshape(1, -1)]
+        out += [up["kernel"], tile_rows(up["bias"].reshape(1, -1), rows)]
     bot = params[f"tiers_{n_tiers - 1}"]["input_module"]["heads_0"]["core"]
     bot = bot["Conv1dResampler_0"]["Dense_0"]
-    out += [bot["kernel"], bot["bias"].reshape(1, -1)]
+    out += [bot["kernel"], tile_rows(bot["bias"].reshape(1, -1), head_rows)]
     core = params["output_modules_0"]["estimator"]["core"]
     k = 0
     while f"Dense_{k}" in core:
         dd = core[f"Dense_{k}"]
-        out += [dd["kernel"], dd["bias"][None, :]]
+        out += [dd["kernel"], tile_rows(dd["bias"][None, :], head_rows)]
         k += 1
     return out
 
@@ -1239,8 +1274,9 @@ def make_jukebox_pallas_decoder(
         fs[i] // (fs[i + 1] if i < n_up - 1 else 1) for i in range(n_up)
     ]
     fs_b = fs[-1]
-    # 2 input-Dense + per-layer (8 self + 8 cross + 6 ln + 4 ffn) + 2 up
-    per_tier = 2 + 26 + 2
+    # 2 input-Dense + per-layer (4 self + 4 cross [qkv fused] + 6 ln +
+    # 4 ffn) + 2 up
+    per_tier = 2 + 18 + 2
     n_weights = n_up * per_tier + 2 + 2 * n_head_dense
 
     from ..networks.transformers import sinusoidal_pe
@@ -1263,8 +1299,8 @@ def make_jukebox_pallas_decoder(
             tiers.append(
                 dict(
                     w_in=w.pop(0), b_in=w.pop(0),
-                    self_w=[w.pop(0) for _ in range(8)],
-                    cross_w=[w.pop(0) for _ in range(8)],
+                    self_w=[w.pop(0) for _ in range(4)],
+                    cross_w=[w.pop(0) for _ in range(4)],
                     ln_w=[w.pop(0) for _ in range(6)],
                     ffn_w=[w.pop(0) for _ in range(4)],
                     w_up=w.pop(0), b_up=w.pop(0),
@@ -1290,35 +1326,90 @@ def make_jukebox_pallas_decoder(
             lambda v: jnp.maximum(v, 0.0)
         )
 
-        def attention(x, kv, l, wset, n):
-            Wq, bq, Wk, bk, Wv, bv, Wo, bo = (t[l] for t in wset)
-            q = jnp.dot(x, Wq, preferred_element_type=jnp.float32) + bq
-            k = jnp.dot(kv, Wk, preferred_element_type=jnp.float32) + bk
-            v = jnp.dot(kv, Wv, preferred_element_type=jnp.float32) + bv
+        def attention(x, kv, l, wset, n, is_self):
+            """Block-diagonal multi-head attention for tiny tier windows.
+
+            The tiers attend over n = 3..8 frames: per-head (n, dH) dots
+            are issue-latency-bound micro-ops (nH*2 of them per call).
+            Instead, tile K^T / V into block-diagonal (d, nH*n) /
+            (nH*n, d) matrices with static iota masks — ALL heads' scores,
+            per-block softmax (matmul segment-sums against block-ones
+            selectors) and values then run as 5 full-width ops.  Because
+            each block-diag column/row is zero outside its head's dH
+            lanes, no cross-head terms appear and the head outputs land
+            already concatenated on the lanes.
+            """
+            Wqkv, bqkv, Wo, bo = (t[l] for t in wset)
+            if is_self:
+                qkv = (
+                    jnp.dot(x, Wqkv, preferred_element_type=jnp.float32)
+                    + bqkv
+                )
+                q, k, v = qkv[:, :d], qkv[:, d : 2 * d], qkv[:, 2 * d :]
+            else:
+                q = (
+                    jnp.dot(
+                        x, Wqkv[:, :d], preferred_element_type=jnp.float32
+                    )
+                    + bqkv[:, :d]
+                )
+                kv2 = (
+                    jnp.dot(
+                        kv, Wqkv[:, d:], preferred_element_type=jnp.float32
+                    )
+                    + bqkv[:, d:]
+                )
+                k, v = kv2[:, :d], kv2[:, d:]
             q = q * inv_sqrt_dh
-            row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-            causal = row >= col
+
+            Hn = nH * n
+            # static masks from iota: K block (h*dH.., h*n..), V block
+            # (h*n.., h*dH..), causal tiled per block, block-sum selectors
+            rd = jax.lax.broadcasted_iota(jnp.int32, (d, Hn), 0)
+            cd = jax.lax.broadcasted_iota(jnp.int32, (d, Hn), 1)
+            kmask = (rd // dH == cd // n).astype(jnp.float32)
+            rv = jax.lax.broadcasted_iota(jnp.int32, (Hn, d), 0)
+            cv = jax.lax.broadcasted_iota(jnp.int32, (Hn, d), 1)
+            vmask = (rv // n == cv // dH).astype(jnp.float32)
+            rs = jax.lax.broadcasted_iota(jnp.int32, (n, Hn), 0)
+            cs = jax.lax.broadcasted_iota(jnp.int32, (n, Hn), 1)
+            causal = rs >= (cs % n)
+            ro = jax.lax.broadcasted_iota(jnp.int32, (Hn, nH), 0)
+            co = jax.lax.broadcasted_iota(jnp.int32, (Hn, nH), 1)
+            block_ones = (ro // n == co).astype(jnp.float32)
+
             stream_outs = []
             for s in range(B):
                 r0 = s * n
-                head_outs = []
-                for h in range(nH):
-                    c0 = h * dH
-                    qh = q[r0 : r0 + n, c0 : c0 + dH]
-                    kh = k[r0 : r0 + n, c0 : c0 + dH]
-                    vh = v[r0 : r0 + n, c0 : c0 + dH]
-                    sc = jax.lax.dot_general(
-                        qh, kh,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    sc = jnp.where(causal, sc, big_neg)
-                    p = jax.nn.softmax(sc, axis=-1)
-                    head_outs.append(
-                        jnp.dot(p, vh, preferred_element_type=jnp.float32)
-                    )
-                stream_outs.append(jnp.concatenate(head_outs, axis=1))
+                qs = q[r0 : r0 + n, :]
+                kT = jnp.swapaxes(k[r0 : r0 + n, :], 0, 1)  # (d, n)
+                Kblk = (
+                    jnp.concatenate([kT] * nH, axis=1) * kmask
+                )  # (d, Hn)
+                S = jnp.dot(
+                    qs, Kblk, preferred_element_type=jnp.float32
+                )  # (n, Hn): S[i, h*n+j] = q_h[i]·k_h[j]
+                S = jnp.where(causal, S, big_neg)
+                # per-row global max is constant within each block-row, so
+                # the per-block softmax is exact (exp(big_neg - m) == 0)
+                m = jnp.max(S, axis=-1, keepdims=True)
+                E = jnp.exp(S - m)
+                denom = jnp.dot(
+                    E, block_ones, preferred_element_type=jnp.float32
+                )  # (n, nH) per-block sums
+                denom_b = jnp.dot(
+                    denom,
+                    jnp.swapaxes(block_ones, 0, 1),
+                    preferred_element_type=jnp.float32,
+                )  # broadcast back to (n, Hn)
+                P = E / denom_b
+                Vblk = (
+                    jnp.concatenate([v[r0 : r0 + n, :]] * nH, axis=0)
+                    * vmask
+                )  # (Hn, d)
+                stream_outs.append(
+                    jnp.dot(P, Vblk, preferred_element_type=jnp.float32)
+                )  # (n, d) — head outputs already on their lanes
             a = (
                 stream_outs[0]
                 if B == 1
@@ -1334,14 +1425,27 @@ def make_jukebox_pallas_decoder(
             for i in range(n_up):
                 tw = tiers[i]
                 f, n = fs[i], n_frames[i]
-                seg = lin[:, fs0 - f : W - f]  # (B, span)
-                if B == 1:
-                    x = seg.reshape(n, f)
-                else:
-                    x = jnp.concatenate(
-                        [seg[s : s + 1, :].reshape(n, f) for s in range(B)],
-                        axis=0,
-                    )  # (B*n, f)
+                # Frame gather-free AND layout-legal: a (1, n*f)->(n, f)
+                # reshape is a lane re-tiling Mosaic rejects
+                # ("unsupported shape cast"), sublane-concatenating raw
+                # lane slices trips "offset mismatch on non-concat
+                # dimension", and a concat-spelled rotate merely inherits
+                # operand 0's lane offset.  pltpu.roll is a PHYSICAL
+                # rotate: each frame lands at lane 0, then the aligned
+                # pieces stack on sublanes.
+                parts = []
+                for r in range(n):
+                    a = (fs0 - f) + r * f
+                    rolled = lin if a == 0 else pltpu.roll(lin, W - a, 1)
+                    parts.append(rolled[:, :f])  # (B, f) at lane 0
+                x = jnp.concatenate(
+                    [
+                        parts[r][s : s + 1, :]
+                        for s in range(B)
+                        for r in range(n)
+                    ],
+                    axis=0,
+                )  # (B*n, f)
                 x = (
                     jnp.dot(
                         x, tw["w_in"][:], preferred_element_type=jnp.float32
@@ -1354,11 +1458,12 @@ def make_jukebox_pallas_decoder(
                 memory = x
                 for l in range(L):
                     x = layer_norm(
-                        x + attention(x, x, l, tw["self_w"], n),
+                        x + attention(x, x, l, tw["self_w"], n, True),
                         tw["ln_w"][0][l], tw["ln_w"][1][l],
                     )
                     x = layer_norm(
-                        x + attention(x, memory, l, tw["cross_w"], n),
+                        x
+                        + attention(x, memory, l, tw["cross_w"], n, False),
                         tw["ln_w"][2][l], tw["ln_w"][3][l],
                     )
                     h = (
@@ -1385,26 +1490,53 @@ def make_jukebox_pallas_decoder(
                     )
                     + tw["b_up"][:]
                 )  # (B*n, t_i*d)
-                x_up = up.reshape(B * n * t_up[i], d)
+                tf_up = t_up[i]
+                if i < n_up - 1:
+                    # de-interleave (B*n, t*d) -> (B*n*t, d) with slices
+                    # + sublane concat (a reshape is a lane re-tiling
+                    # Mosaic rejects); next-tier frame m reads chunk m%t
+                    # of up-row m//t
+                    nxt = n_frames[i + 1]
+                    rolls = [
+                        up
+                        if j == 0
+                        else pltpu.roll(up, (tf_up - j) * d, 1)
+                        for j in range(tf_up)
+                    ]  # chunk j of every row, rotated to lane 0
+                    x_up = jnp.concatenate(
+                        [
+                            rolls[m % tf_up][
+                                s * n + m // tf_up : s * n + m // tf_up + 1,
+                                :d,
+                            ]
+                            for s in range(B)
+                            for m in range(nxt)
+                        ],
+                        axis=0,
+                    )  # (B*nxt, d)
+                else:
+                    # the bottom consumes only the LAST up-sampled row —
+                    # slice it instead of materializing the interleave
+                    lastroll = (
+                        up if tf_up == 1 else pltpu.roll(up, d, 1)
+                    )
+                    up_last = jnp.concatenate(
+                        [
+                            lastroll[s * n + n - 1 : s * n + n, :d]
+                            for s in range(B)
+                        ],
+                        axis=0,
+                    ) if B > 1 else lastroll[n - 1 : n, :d]  # (B, d)
 
             # bottom tier: eval reads only the LAST framed position —
             # the final fs_b real tokens (the window's last slot is the
             # placeholder, never read) plus the last up-sampled row
-            bot_in = lin[:, W - 1 - fs_b : W - 1]  # (B, fs_b)
+            off_b = W - 1 - fs_b
+            bot_in = pltpu.roll(lin, W - off_b, 1)[:, :fs_b]  # lane 0
             bot = (
                 jnp.dot(bot_in, w_bot[:], preferred_element_type=jnp.float32)
                 + b_bot[:]
             )  # (B, d)
-            if B == 1:
-                up_last = x_up[span - 1 : span, :]
-            else:
-                up_last = jnp.concatenate(
-                    [
-                        x_up[s * span + span - 1 : s * span + span, :]
-                        for s in range(B)
-                    ],
-                    axis=0,
-                )
             hh = bot + up_last
             for kk in range(n_head_dense - 1):
                 hh = mish(

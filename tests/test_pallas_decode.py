@@ -355,7 +355,7 @@ def test_pallas_jukebox_argmax_matches_window_scan_exactly(
     jb._ensure_params(prompts)
     _jitter_params(jb, scale=0.3)
     if B == 1:
-        assert jb._use_pallas_decode(B, 40, argmax=True), (
+        assert jb._use_pallas_decode(B, W, 40, argmax=True), (
             "pallas gate refused a supported jukebox config"
         )
         a = np.asarray(
@@ -424,4 +424,4 @@ def test_pallas_jukebox_gate(force_pallas):
     # multi-stream routes to the window scan
     prompts = (np.random.randint(0, 32, (1, 16)).astype(np.int32),)
     jb._ensure_params(prompts)
-    assert not jb._use_pallas_decode(4, 40, argmax=True)
+    assert not jb._use_pallas_decode(4, 16, 40, argmax=True)
