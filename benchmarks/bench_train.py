@@ -221,6 +221,7 @@ def main():
     )
     bench_net("transformer8l", tr, io3, batch_size=8, batch_length=512)
 
+    bench_wavegan()
     bench_loop_level()
     from _timing import write_bench_json
 
@@ -228,6 +229,88 @@ def main():
     print(f"# backend={jax.default_backend()} wrote {path}", file=sys.stderr)
 
 
+
+
+def bench_wavegan():
+    """Adversarial-family training rate: WGAN-GP cycles (5 critic updates
+    incl. the double-backward gradient penalty + 1 generator update) per
+    second at the acoustic-check config, whole cycle scanned on device."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import mimikit_tpu as mmk
+    from mimikit_tpu.networks.wave_gan import make_wavegan_steps
+    from _timing import fence, read_rtt
+
+    gan = mmk.WaveGAN.from_config(
+        mmk.WaveGAN.Config(
+            latent_dim=100, model_size=8, kernel_size=25, t0=64,
+            up_sample=(4, 4, 4), post_proc_filt_len=512,
+        )
+    )
+    batch, n_critic, K = 32, 5, 25
+    gan.init_params(batch_size=batch)
+    g_opt = optax.adam(1e-4, b1=0.5, b2=0.9)
+    d_opt = optax.adam(1e-4, b1=0.5, b2=0.9)
+    g_state = g_opt.init(gan.gen_params["params"])
+    d_state = d_opt.init(gan.disc_params["params"])
+    d_step, g_step = make_wavegan_steps(gan, g_opt, d_opt, g_batch=batch)
+    L = gan.config.slice_length
+    real = jnp.asarray(
+        np.random.uniform(-1, 1, (batch, L, 1)).astype(np.float32)
+    )
+
+    @jax.jit
+    def k_cycles(dv, d_state, gv, g_state, keys):
+        def cycle(carry, k):
+            dv, d_state, gv, g_state = carry
+            ks = jax.random.split(k, n_critic + 1)
+
+            def critic_step(c, kk):
+                dv, d_state = c
+                dv, d_state, dl = d_step(dv, d_state, gv, real, kk)
+                return (dv, d_state), dl
+
+            (dv, d_state), _ = jax.lax.scan(
+                critic_step, (dv, d_state), ks[:-1]
+            )
+            gv, g_state, gl = g_step(gv, g_state, dv, ks[-1])
+            return (dv, d_state, gv, g_state), gl
+
+        carry, gls = jax.lax.scan(
+            cycle, (dv, d_state, gv, g_state), keys
+        )
+        return carry, gls[-1]
+
+    dv, gv = gan.disc_params, gan.gen_params
+    key = jax.random.PRNGKey(0)
+    (dv, d_state, gv, g_state), gl = k_cycles(
+        dv, d_state, gv, g_state, jax.random.split(key, K)
+    )
+    rtt = read_rtt(gl)
+    n_rep = 4
+    t0 = time.time()
+    for _ in range(n_rep):
+        (dv, d_state, gv, g_state), gl = k_cycles(
+            dv, d_state, gv, g_state, jax.random.split(key, K)
+        )
+    fence(gl)
+    dt = max((time.time() - t0 - rtt) / (n_rep * K), 1e-9)
+    cps = 1.0 / dt
+    entry = {
+        "metric": "wavegan_gp_train_cycles_per_sec",
+        "value": round(cps, 1),
+        "unit": "cycles/s",
+        # a cycle consumes 5 critic batches of real audio
+        "vs_baseline": round(cps * n_critic * batch * L / 16000.0, 1),
+        "ms_per_cycle": round(dt * 1e3, 2),
+        "note": "1 cycle = 5 WGAN-GP critic updates (double backward) "
+                "+ 1 generator update, batch 32 x 4096 samples",
+    }
+    RESULTS.append(entry)
+    print(json.dumps(entry))
+    print(f"# wavegan: {dt*1e3:.1f} ms/cycle", file=sys.stderr)
 
 
 def bench_loop_level():
