@@ -37,7 +37,9 @@ on STFT frames and inverts its free-run with the PREDICTED phases
 (direct ISTFT — no Griffin-Lim); ``BENCH_NET=multis2s`` autoencodes the
 tone's magnitude frames through the v1 seq2seq hierarchy's bottleneck.
 ``BENCH_SMOKE=1`` shrinks the custom-loop variants to a mechanical
-end-to-end check (no acoustic claim).
+end-to-end check (no acoustic claim).  ``BENCH_SIGNAL=duotone`` trains
+the AR sample-domain variants on a 440+660 Hz chord and requires BOTH
+partials in the free-run — a stricter claim than single-tone lock.
 """
 import json
 import os
@@ -449,7 +451,20 @@ def main():
     sr, freq = 16000, 440.0
     tmp = tempfile.mkdtemp()
     t = np.arange(sr * 4) / sr
-    sig = (0.6 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    # BENCH_SIGNAL=duotone trains on a 440+660 Hz mixture and requires
+    # BOTH partials in the generation — a chord is a stricter proof than
+    # a single tone (the model must hold two phases, not lock to one).
+    # Applies to the AR sample-domain variants (the custom-loop checks
+    # keep their single-tone contract).
+    duotone = os.environ.get("BENCH_SIGNAL", "tone") == "duotone"
+    freq2 = 660.0
+    if duotone:
+        sig = (
+            0.45 * np.sin(2 * np.pi * freq * t)
+            + 0.35 * np.sin(2 * np.pi * freq2 * t)
+        ).astype(np.float32)
+    else:
+        sig = (0.6 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
     wav = os.path.join(tmp, "tone.wav")
     wavfile.write(wav, sr, (sig * 32767).astype(np.int16))
 
@@ -627,6 +642,37 @@ def main():
     spec = np.abs(np.fft.rfft(audio * np.hanning(len(audio))))
     freqs = np.fft.rfftfreq(len(audio), 1 / sr)
     spec[0] = 0.0  # any DC offset is not a "tone"
+    if duotone:
+        # two strongest well-separated peaks must be the two partials
+        p1 = int(spec.argmax())
+        masked = spec.copy()
+        lo = np.searchsorted(freqs, freqs[p1] - 80.0)
+        hi = np.searchsorted(freqs, freqs[p1] + 80.0)
+        masked[lo:hi] = 0.0
+        p2 = int(masked.argmax())
+        peaks = sorted((float(freqs[p1]), float(freqs[p2])))
+        ok = abs(peaks[0] - freq) < 25.0 and abs(peaks[1] - freq2) < 25.0
+        for nm, got, want in (
+            ("peak1", peaks[0], freq), ("peak2", peaks[1], freq2)
+        ):
+            print(
+                json.dumps(
+                    {
+                        "metric": f"{which}_duotone_{nm}_hz",
+                        "value": round(got, 1),
+                        "unit": "Hz",
+                        "vs_baseline": round(got / want, 3),
+                    }
+                )
+            )
+        print(
+            f"# final_loss={final_loss:.3f} targets=({freq},{freq2})Hz "
+            f"peaks={peaks} ok={ok}",
+            file=sys.stderr,
+        )
+        if not ok:
+            sys.exit(1)
+        return
     dominant = float(freqs[spec.argmax()])
     ok = abs(dominant - freq) < 25.0
     print(
