@@ -243,3 +243,42 @@ def test_device_batcher_sampling_jitter(tmp_path):
     ).n_items
     for b in jittered:
         assert b.min() >= 0 and b.max() < n_items
+
+
+def test_beta_scheduler_shapes_and_training_step():
+    """BetaScheduler (reference loops/beta_scheduler.py): cosine
+    initial -> max -> min phases over Adam's b1, wired via
+    optax.inject_hyperparams."""
+    import jax
+    import jax.numpy as jnp
+
+    from mimikit_tpu.loops.beta_scheduler import (
+        adam_with_beta_schedule,
+        beta_schedule,
+    )
+
+    sched = beta_schedule(max_beta=0.9, total_steps=100, pct_start=0.3)
+    assert abs(sched(0) - 0.9 / 25.0) < 1e-9          # initial
+    assert abs(sched(30) - 0.9) < 1e-9                # peak at pct_start
+    assert sched(100) < sched(0)                      # final below initial
+    vals = [sched(s) for s in range(101)]
+    peak = max(range(101), key=lambda s: vals[s])
+    assert peak == 30
+    assert all(b <= 0.9 + 1e-9 for b in vals)
+
+    tx, schedule_fn = adam_with_beta_schedule(
+        1e-2, max_beta=0.9, total_steps=10
+    )
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    for step in range(3):
+        state.hyperparams.update(
+            {k: jnp.asarray(v) for k, v in schedule_fn(step).items()}
+        )
+        grads = {"w": jnp.full((4,), 0.5)}
+        updates, state = tx.update(grads, state, params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, params, updates
+        )
+    assert bool(jnp.all(jnp.isfinite(params["w"])))
+    assert float(params["w"][0]) < 1.0  # it actually descended
