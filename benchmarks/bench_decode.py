@@ -231,6 +231,26 @@ def main():
         results.append(entry)
         print(json.dumps(entry))
 
+    # jukebox single-stream serving rides the fused tier-pyramid kernel
+    # through the same streaming API (window re-feed per chunk, exact)
+    jb_prompts = (np.random.randint(0, 256, (1, 128)).astype(np.int32),)
+    it = mmk.stream_tokens(jb, jb_prompts, chunk, temperature=0.9)
+    next(it)  # compile + warm
+    t0 = time.time()
+    n_chunks = 10
+    for _ in range(n_chunks):
+        next(it)
+    per_chunk = (time.time() - t0) / n_chunks
+    entry = {
+        "metric": "jukebox3_stream_b1_ms_per_100ms_chunk",
+        "value": round(per_chunk * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": round(0.1 / per_chunk, 2),
+        "x_realtime_per_stream": round(0.1 / per_chunk, 2),
+    }
+    results.append(entry)
+    print(json.dumps(entry))
+
     path = write_bench_json("decode", results)
     print(f"# backend={jax.default_backend()} wrote {path}", file=sys.stderr)
 
