@@ -212,17 +212,23 @@ def main():
     # 1600-sample chunk and the realtime factor that implies.
     os.environ["MMK_PALLAS_DECODE"] = "auto"
     chunk = 1600
-    for name, B in (("stream_b1", 1), ("stream_b64", 64)):
-        prompts = (np.random.randint(0, 256, (B, 32)).astype(np.int32),)
-        it = mmk.stream_tokens(srnn, prompts, chunk, temperature=0.9)
+    # jukebox single-stream serving rides the fused tier-pyramid kernel
+    # through the same streaming API (window re-feed per chunk, exact)
+    stream_cases = (
+        ("samplernn3_stream_b1", srnn, 1, 32, 20),
+        ("samplernn3_stream_b64", srnn, 64, 32, 20),
+        ("jukebox3_stream_b1", jb, 1, 128, 10),
+    )
+    for name, net, B, prior_t, n_chunks in stream_cases:
+        prompts = (np.random.randint(0, 256, (B, prior_t)).astype(np.int32),)
+        it = mmk.stream_tokens(net, prompts, chunk, temperature=0.9)
         next(it)  # compile + warm
         t0 = time.time()
-        n_chunks = 20
         for _ in range(n_chunks):
             next(it)  # host numpy chunk: arrival == completion
         per_chunk = (time.time() - t0) / n_chunks
         entry = {
-            "metric": f"samplernn3_{name}_ms_per_100ms_chunk",
+            "metric": f"{name}_ms_per_100ms_chunk",
             "value": round(per_chunk * 1e3, 2),
             "unit": "ms",
             "vs_baseline": round(0.1 / per_chunk, 2),
@@ -230,26 +236,6 @@ def main():
         }
         results.append(entry)
         print(json.dumps(entry))
-
-    # jukebox single-stream serving rides the fused tier-pyramid kernel
-    # through the same streaming API (window re-feed per chunk, exact)
-    jb_prompts = (np.random.randint(0, 256, (1, 128)).astype(np.int32),)
-    it = mmk.stream_tokens(jb, jb_prompts, chunk, temperature=0.9)
-    next(it)  # compile + warm
-    t0 = time.time()
-    n_chunks = 10
-    for _ in range(n_chunks):
-        next(it)
-    per_chunk = (time.time() - t0) / n_chunks
-    entry = {
-        "metric": "jukebox3_stream_b1_ms_per_100ms_chunk",
-        "value": round(per_chunk * 1e3, 2),
-        "unit": "ms",
-        "vs_baseline": round(0.1 / per_chunk, 2),
-        "x_realtime_per_stream": round(0.1 / per_chunk, 2),
-    }
-    results.append(entry)
-    print(json.dumps(entry))
 
     path = write_bench_json("decode", results)
     print(f"# backend={jax.default_backend()} wrote {path}", file=sys.stderr)

@@ -240,7 +240,10 @@ def bench_wavegan():
     import optax
 
     import mimikit_tpu as mmk
-    from mimikit_tpu.networks.wave_gan import make_wavegan_steps
+    from mimikit_tpu.networks.wave_gan import (
+        make_wavegan_k_cycles,
+        make_wavegan_steps,
+    )
     from _timing import fence, read_rtt
 
     gan = mmk.WaveGAN.from_config(
@@ -261,41 +264,24 @@ def bench_wavegan():
         np.random.uniform(-1, 1, (batch, L, 1)).astype(np.float32)
     )
 
-    @jax.jit
-    def k_cycles(dv, d_state, gv, g_state, keys):
-        def cycle(carry, k):
-            dv, d_state, gv, g_state = carry
-            ks = jax.random.split(k, n_critic + 1)
-
-            def critic_step(c, kk):
-                dv, d_state = c
-                dv, d_state, dl = d_step(dv, d_state, gv, real, kk)
-                return (dv, d_state), dl
-
-            (dv, d_state), _ = jax.lax.scan(
-                critic_step, (dv, d_state), ks[:-1]
-            )
-            gv, g_state, gl = g_step(gv, g_state, dv, ks[-1])
-            return (dv, d_state, gv, g_state), gl
-
-        carry, gls = jax.lax.scan(
-            cycle, (dv, d_state, gv, g_state), keys
-        )
-        return carry, gls[-1]
+    k_cycles = make_wavegan_k_cycles(
+        d_step, g_step, lambda _k: real, n_critic=n_critic
+    )
 
     dv, gv = gan.disc_params, gan.gen_params
     key = jax.random.PRNGKey(0)
-    (dv, d_state, gv, g_state), gl = k_cycles(
+    (dv, d_state, gv, g_state), losses = k_cycles(
         dv, d_state, gv, g_state, jax.random.split(key, K)
     )
+    gl = losses[1][-1]
     rtt = read_rtt(gl)
     n_rep = 4
     t0 = time.time()
     for _ in range(n_rep):
-        (dv, d_state, gv, g_state), gl = k_cycles(
+        (dv, d_state, gv, g_state), losses = k_cycles(
             dv, d_state, gv, g_state, jax.random.split(key, K)
         )
-    fence(gl)
+    fence(losses[1][-1])
     dt = max((time.time() - t0 - rtt) / (n_rep * K), 1e-9)
     cps = 1.0 / dt
     entry = {

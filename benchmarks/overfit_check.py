@@ -163,7 +163,10 @@ def _wavegan_check(mmk, cfg, sr, freq):
     import jax.numpy as jnp
     import optax
 
-    from mimikit_tpu.networks.wave_gan import make_wavegan_steps
+    from mimikit_tpu.networks.wave_gan import (
+        make_wavegan_k_cycles,
+        make_wavegan_steps,
+    )
 
     smoke = bool(int(os.environ.get("BENCH_SMOKE", "0")))
     sig = np.asarray(cfg.get(mode="r").signal[:]).astype(np.float32)
@@ -192,38 +195,15 @@ def _wavegan_check(mmk, cfg, sr, freq):
     n_slices = len(sig) - L
     K = 2 if smoke else 50
 
-    @jax.jit
-    def k_cycles(disc_vars, d_state, gen_vars, g_state, keys):
-        def critic_step(carry, ks2):
-            disc_vars, d_state, gen_vars = carry
-            starts = jax.random.randint(ks2[0], (batch,), 0, n_slices)
-            real = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(sig_dev, (s,), (L,))
-            )(starts)[..., None]
-            disc_vars, d_state, dl = d_step(
-                disc_vars, d_state, gen_vars, real, ks2[1]
-            )
-            return (disc_vars, d_state, gen_vars), dl
+    def real_slices(key):
+        starts = jax.random.randint(key, (batch,), 0, n_slices)
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(sig_dev, (s,), (L,))
+        )(starts)[..., None]
 
-        def cycle(carry, k):
-            disc_vars, d_state, gen_vars, g_state = carry
-            ks = jax.random.split(k, 2 * n_critic + 1)
-            # scan the critic's inner loop too: an unrolled body would
-            # trace 5 full WGAN-GP double-grad graphs per cycle
-            (disc_vars, d_state, _), dls = jax.lax.scan(
-                critic_step,
-                (disc_vars, d_state, gen_vars),
-                ks[:-1].reshape(n_critic, 2, -1),
-            )
-            gen_vars, g_state, gl = g_step(
-                gen_vars, g_state, disc_vars, ks[-1]
-            )
-            return (disc_vars, d_state, gen_vars, g_state), (dls[-1], gl)
-
-        carry, losses = jax.lax.scan(
-            cycle, (disc_vars, d_state, gen_vars, g_state), keys
-        )
-        return carry, losses
+    k_cycles = make_wavegan_k_cycles(
+        d_step, g_step, real_slices, n_critic=n_critic
+    )
 
     dv, gv = gan.disc_params, gan.gen_params
     key = jax.random.PRNGKey(42)

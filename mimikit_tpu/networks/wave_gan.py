@@ -50,6 +50,7 @@ __all__ = [
     "WaveGAN",
     "phase_shuffle",
     "make_wavegan_steps",
+    "make_wavegan_k_cycles",
 ]
 
 
@@ -358,3 +359,47 @@ def make_wavegan_steps(gan: WaveGAN, g_opt, d_opt, gp_weight: float = 10.0,
         return {"params": gp_, **new_aux}, g_state, loss
 
     return d_step, g_step
+
+
+def make_wavegan_k_cycles(d_step, g_step, real_fn, n_critic: int = 5):
+    """Jit a whole block of WGAN-GP cycles as ONE device dispatch.
+
+    A cycle = ``n_critic`` critic updates (each on ``real_fn(key)``'s
+    batch) then one generator update; both loops are ``lax.scan``s (an
+    unrolled critic body traces n_critic full double-backward graphs per
+    cycle — compile blows up).  Returns
+    ``k_cycles(disc_vars, d_state, gen_vars, g_state, keys) ->
+    ((disc_vars, d_state, gen_vars, g_state), (d_losses, g_losses))``
+    scanning one cycle per key.  Shared by the acoustic check
+    (benchmarks/overfit_check.py) and the train bench so the training
+    regime they exercise cannot drift apart.
+    """
+
+    @jax.jit
+    def k_cycles(disc_vars, d_state, gen_vars, g_state, keys):
+        def critic_step(carry, ks2):
+            disc_vars, d_state, gen_vars = carry
+            disc_vars, d_state, dl = d_step(
+                disc_vars, d_state, gen_vars, real_fn(ks2[0]), ks2[1]
+            )
+            return (disc_vars, d_state, gen_vars), dl
+
+        def cycle(carry, k):
+            disc_vars, d_state, gen_vars, g_state = carry
+            ks = jax.random.split(k, 2 * n_critic + 1)
+            (disc_vars, d_state, _), dls = jax.lax.scan(
+                critic_step,
+                (disc_vars, d_state, gen_vars),
+                ks[:-1].reshape(n_critic, 2, -1),
+            )
+            gen_vars, g_state, gl = g_step(
+                gen_vars, g_state, disc_vars, ks[-1]
+            )
+            return (disc_vars, d_state, gen_vars, g_state), (dls[-1], gl)
+
+        carry, losses = jax.lax.scan(
+            cycle, (disc_vars, d_state, gen_vars, g_state), keys
+        )
+        return carry, losses
+
+    return k_cycles

@@ -45,6 +45,21 @@ __all__ = [
 ]
 
 
+def _head_is_plain_mish(t_mod) -> bool:
+    """The fused kernels hardcode Mish on the MLP head's hidden layers
+    (MLPIO's default); any other head activation (or a scaled/phase
+    variant, which carries params) must fall back to the scan path —
+    otherwise the kernel silently samples from different logits."""
+    act = getattr(t_mod, "activation", None)
+    if act is None:
+        return False
+    return (
+        str(getattr(act, "act", "")) == "Mish"
+        and not getattr(act, "scaled", False)
+        and not getattr(act, "static", False)
+    )
+
+
 def supports_pallas_decode(net) -> bool:
     """True when ``net`` is a SampleRNN in the fused kernel's supported
     configuration."""
@@ -72,6 +87,8 @@ def supports_pallas_decode(net) -> bool:
         return False
     t_mod = io.targets[0].module
     if type(t_mod).__name__ != "MLPIO" or t_mod.min_temperature is None:
+        return False
+    if not _head_is_plain_mish(t_mod):
         return False
     if getattr(t_mod, "n_hidden_layers", 0) not in (0, 1, 2):
         return False
@@ -343,6 +360,8 @@ def supports_pallas_wavenet(net) -> bool:
         return False
     t_mod = io.targets[0].module
     if type(t_mod).__name__ != "MLPIO" or t_mod.min_temperature is None:
+        return False
+    if not _head_is_plain_mish(t_mod):
         return False
     obj = io.targets[0].objective
     if str(getattr(obj, "objective_type", "")) != "categorical_dist":
@@ -757,6 +776,8 @@ def supports_pallas_transformer(net) -> bool:
     t_mod = io.targets[0].module
     if type(t_mod).__name__ != "MLPIO" or t_mod.min_temperature is None:
         return False
+    if not _head_is_plain_mish(t_mod):
+        return False
     if getattr(t_mod, "weight_norm", False) or getattr(cfg, "weight_norm", False):
         return False
     obj = io.targets[0].objective
@@ -1114,6 +1135,8 @@ def supports_pallas_jukebox(net) -> bool:
     t_mod = io.targets[0].module
     if type(t_mod).__name__ != "MLPIO" or t_mod.min_temperature is None:
         return False
+    if not _head_is_plain_mish(t_mod):
+        return False
     if getattr(t_mod, "weight_norm", False):
         return False
     obj = io.targets[0].objective
@@ -1326,6 +1349,27 @@ def make_jukebox_pallas_decoder(
             lambda v: jnp.maximum(v, 0.0)
         )
 
+        # static attention masks per distinct tier frame count, built ONCE
+        # in the kernel prologue (loop-invariant; rebuilding them inside
+        # the step body costs pure VPU work on the latency-bound path)
+        masks = {}
+        for n in sorted(set(n_frames)):
+            Hn = nH * n
+            rd = jax.lax.broadcasted_iota(jnp.int32, (d, Hn), 0)
+            cd = jax.lax.broadcasted_iota(jnp.int32, (d, Hn), 1)
+            kmask = (rd // dH == cd // n).astype(jnp.float32)
+            rv = jax.lax.broadcasted_iota(jnp.int32, (Hn, d), 0)
+            cv = jax.lax.broadcasted_iota(jnp.int32, (Hn, d), 1)
+            vmask = (rv // n == cv // dH).astype(jnp.float32)
+            rs = jax.lax.broadcasted_iota(jnp.int32, (n, Hn), 0)
+            cs = jax.lax.broadcasted_iota(jnp.int32, (n, Hn), 1)
+            causal = rs >= (cs % n)
+            blockcol = cs // n
+            ro = jax.lax.broadcasted_iota(jnp.int32, (Hn, nH), 0)
+            co = jax.lax.broadcasted_iota(jnp.int32, (Hn, nH), 1)
+            block_ones = (ro // n == co).astype(jnp.float32)
+            masks[n] = (kmask, vmask, causal, blockcol, block_ones)
+
         def attention(x, kv, l, wset, n, is_self):
             """Block-diagonal multi-head attention for tiny tier windows.
 
@@ -1361,22 +1405,7 @@ def make_jukebox_pallas_decoder(
                 )
                 k, v = kv2[:, :d], kv2[:, d:]
             q = q * inv_sqrt_dh
-
-            Hn = nH * n
-            # static masks from iota: K block (h*dH.., h*n..), V block
-            # (h*n.., h*dH..), causal tiled per block, block-sum selectors
-            rd = jax.lax.broadcasted_iota(jnp.int32, (d, Hn), 0)
-            cd = jax.lax.broadcasted_iota(jnp.int32, (d, Hn), 1)
-            kmask = (rd // dH == cd // n).astype(jnp.float32)
-            rv = jax.lax.broadcasted_iota(jnp.int32, (Hn, d), 0)
-            cv = jax.lax.broadcasted_iota(jnp.int32, (Hn, d), 1)
-            vmask = (rv // n == cv // dH).astype(jnp.float32)
-            rs = jax.lax.broadcasted_iota(jnp.int32, (n, Hn), 0)
-            cs = jax.lax.broadcasted_iota(jnp.int32, (n, Hn), 1)
-            causal = rs >= (cs % n)
-            ro = jax.lax.broadcasted_iota(jnp.int32, (Hn, nH), 0)
-            co = jax.lax.broadcasted_iota(jnp.int32, (Hn, nH), 1)
-            block_ones = (ro // n == co).astype(jnp.float32)
+            kmask, vmask, causal, blockcol, block_ones = masks[n]
 
             stream_outs = []
             for s in range(B):
@@ -1390,10 +1419,23 @@ def make_jukebox_pallas_decoder(
                     qs, Kblk, preferred_element_type=jnp.float32
                 )  # (n, Hn): S[i, h*n+j] = q_h[i]·k_h[j]
                 S = jnp.where(causal, S, big_neg)
-                # per-row global max is constant within each block-row, so
-                # the per-block softmax is exact (exp(big_neg - m) == 0)
-                m = jnp.max(S, axis=-1, keepdims=True)
-                E = jnp.exp(S - m)
+                # per-BLOCK max, exactly like flax's per-head softmax: a
+                # global row max would let a head whose scores sit far
+                # below another head's underflow its whole block to zero
+                # (0/0 -> NaN).  nH masked reduces + lane broadcasts.
+                mb = jnp.concatenate(
+                    [
+                        jnp.max(
+                            jnp.where(blockcol == h, S, big_neg),
+                            axis=-1,
+                            keepdims=True,
+                        )
+                        + jnp.zeros((n, n), jnp.float32)
+                        for h in range(nH)
+                    ],
+                    axis=1,
+                )  # (n, Hn)
+                E = jnp.exp(S - mb)
                 denom = jnp.dot(
                     E, block_ones, preferred_element_type=jnp.float32
                 )  # (n, nH) per-block sums
