@@ -40,6 +40,12 @@ tone's magnitude frames through the v1 seq2seq hierarchy's bottleneck.
 end-to-end check (no acoustic claim).  ``BENCH_SIGNAL=duotone`` trains
 the AR sample-domain variants on a 440+660 Hz chord and requires BOTH
 partials in the free-run — a stricter claim than single-tone lock.
+SampleRNN and SimpleTransformer pass it exactly (440.0/660.0 Hz); the
+tiny JukeBox config does NOT (free-run drifts off the chord even at
+train loss 0.038 under the 60-epoch schedule — its framed-linear
+4-sample bottom tier can't resolve the two-phase structure the way the
+transformer's per-token embeddings do), so the chord claim is recorded
+for those two families only.
 """
 import json
 import os
