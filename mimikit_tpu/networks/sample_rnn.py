@@ -502,6 +502,30 @@ class SampleRNN(ARMWithHidden):
             )
             if out is not None:
                 return out
+        elif mesh is not None and self._use_pallas_decode_sharded(
+            B, prior_t, n_steps, mesh, argmax=temperature is None
+        ):
+            # multi-chip serving: streams are independent, so each device
+            # runs the fused kernel on its batch shard (weights
+            # replicated, zero collectives) — the sharded scan only
+            # applies when the kernel is out of scope
+            try:
+                return self._pallas_generate_sharded(
+                    prompts, n_steps, temperature, rng, mesh
+                )
+            except Exception as e:  # noqa: BLE001 — any failure -> scan
+                if (
+                    jax.default_backend() == "cpu"
+                    and os.environ.get("MMK_PALLAS_DECODE") == "1"
+                ):
+                    raise
+                import warnings
+
+                warnings.warn(
+                    f"sharded pallas decode failed ({type(e).__name__}: "
+                    f"{e}); falling back to the sharded scan decoder"
+                )
+                self._pallas_disabled = True
         elif mesh is None:
             sub = self._pallas_batch_split(
                 B, prior_t, n_steps, argmax=temperature is None
@@ -557,6 +581,124 @@ class SampleRNN(ARMWithHidden):
             # off-TPU (and only when forced, for tests)
             return False
         return self._pallas_mode(B, prior_t, n_steps) is not None
+
+    def _use_pallas_decode_sharded(
+        self, B: int, prior_t: int, n_steps: int, mesh, argmax: bool = True
+    ) -> bool:
+        """Sharded-serving route: the fused kernel per batch shard.  The
+        stream batch must split evenly over the mesh's 'data' axis and the
+        per-shard slice must itself be kernel-eligible."""
+        n_data = int(mesh.shape.get("data", 1))
+        if n_data <= 1 or B % n_data:
+            return False
+        return self._use_pallas_decode(
+            B // n_data, prior_t, n_steps, argmax=argmax
+        )
+
+    def _pallas_generate_sharded(self, prompts, n_steps, temperature, rng,
+                                 mesh):
+        """Run the fused decode kernel on every device's batch shard via
+        ``shard_map`` (weights replicated, streams sharded over 'data',
+        zero collectives).  Argmax output is identical to the unsharded
+        kernel; sampled streams draw from the same tempered distribution
+        under a per-shard seed schedule."""
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = jax.shard_map
+
+        from ..ops.pallas_decode import (
+            make_samplernn_pallas_chunked,
+            make_samplernn_pallas_decoder,
+            samplernn_weight_pack,
+        )
+
+        prompt = prompts[0]
+        B, prior_t = prompt.shape
+        n_data = int(mesh.shape["data"])
+        local_B = B // n_data
+        argmax = temperature is None
+        mode = self._pallas_mode(local_B, prior_t, n_steps)
+        wd = self._pallas_weight_dtype()
+        pack_dtype = jnp.bfloat16 if wd == "bf16" else None
+        key = ("pallas_sh", id(mesh), mode, B, prior_t, n_steps, argmax, wd)
+        if key not in self._decoders:
+            n_head_dense = 0
+            core = self.params["outputs_0"]["estimator"]["core"]
+            while f"Dense_{n_head_dense}" in core:
+                n_head_dense += 1
+            t_mod = self.config.io_spec.targets[0].module
+            q = self.config.io_spec.inputs[0].elem_type.size
+            fs = tuple(self.frame_sizes)
+            static = (
+                fs,
+                tuple(self.module.up_factors),
+                self._config.hidden_dim,
+                q,
+                n_head_dense,
+                float(t_mod.min_temperature),
+                local_B,
+                prior_t,
+            )
+            interp = jax.default_backend() == "cpu"
+            if mode == "single":
+                dec = make_samplernn_pallas_decoder(
+                    *static, n_steps, argmax, interpret=interp,
+                    weight_dtype=wd,
+                )
+
+                def body(params, prompt_shard, seed_base, temp):
+                    w = samplernn_weight_pack(params, fs, pack_dtype)
+                    seed = seed_base + jax.lax.axis_index("data")
+                    return dec(w, prompt_shard, seed, temp)
+
+            else:
+                rf = self.rf
+                n_it = prior_t + n_steps - rf
+                C = self._pallas_chunk_for(local_B, prior_t, n_steps)
+                n_chunks = -(-n_it // C)
+                dec = make_samplernn_pallas_chunked(
+                    *static, C, argmax, interpret=interp,
+                    weight_dtype=wd,
+                )
+
+                def body(params, prompt_shard, seed_base, temp):
+                    w = samplernn_weight_pack(params, fs, pack_dtype)
+                    # decorrelate shards AND chunks
+                    seed = seed_base + jax.lax.axis_index("data") * (
+                        n_chunks + 1
+                    )
+                    prompt_T = prompt_shard.astype(jnp.int32).T
+                    state = dec.init_state()
+                    state[0] = prompt_shard[:, :rf].astype(jnp.int32)
+                    chunks = []
+                    for j in range(n_chunks):
+                        out_c, state = dec(
+                            w, prompt_T, seed + j, temp, rf + j * C, state
+                        )
+                        chunks.append(out_c)
+                    toks_T = jnp.concatenate(chunks, axis=0)
+                    start = prior_t - rf
+                    return toks_T[start : start + n_steps].T
+
+            run = jax.jit(
+                shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(P(), P("data"), P(), P()),
+                    out_specs=P("data"),
+                    # pallas_call's out_shape carries no vma annotation
+                    check_vma=False,
+                )
+            )
+            self._decoders[key] = run
+        temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        seed_base = jax.random.randint(
+            rng, (), 0, np.iinfo(np.int32).max // 4
+        )
+        tokens = self._decoders[key](self.params, prompt, seed_base, temp)
+        return (
+            jnp.concatenate([prompt, tokens.astype(prompt.dtype)], axis=1),
+        )
 
     def _pallas_batch_split(
         self, B: int, prior_t: int, n_steps: int, argmax: bool
