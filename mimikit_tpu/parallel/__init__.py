@@ -1,1 +1,2 @@
 from .mesh import *
+from .serving import *

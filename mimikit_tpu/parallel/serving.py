@@ -1,0 +1,94 @@
+"""Zoo-generic multi-device serving: shard decode batches across chips.
+
+Every decoder in the zoo is batch-row-independent (streams never interact),
+so multi-device serving needs no collectives at all: pin the params and a
+batch slice to each device and let the per-device jitted decoders dispatch
+asynchronously — the devices run concurrently and the host pays one
+round of dispatches.  This complements the two mesh-aware fast paths that
+live on the networks themselves (`SampleRNN.generate(mesh=...)`: sharded
+scan, or the fused Pallas kernel per shard via ``jax.shard_map``): it
+works with ANY net's ``generate`` — WaveNet's rolling-window decode, the
+transformers' window scans and fused kernels, seq2seq's block-AR scan —
+because it composes at the call boundary instead of inside the jit.
+
+Per-slice outputs are exact per stream (argmax slices equal the unsharded
+call's rows; sampled streams draw per-slice rng streams).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+__all__ = ["sharded_generate"]
+
+
+def _device_params(net, device):
+    """Replicate the net's params onto ``device`` once, cached on the net."""
+    cache = getattr(net, "_params_by_device", None)
+    if cache is None:
+        cache = {}
+        net._params_by_device = cache
+    key = (id(net.params), device)
+    if key not in cache:
+        cache.clear()  # params changed or new device set: drop stale copies
+        cache[key] = jax.device_put(net.params, device)
+    return cache[key]
+
+
+def sharded_generate(
+    net,
+    prompts: Tuple,
+    n_steps: int,
+    temperature=None,
+    rng=None,
+    mesh=None,
+    devices=None,
+):
+    """Decode ``prompts`` with the stream batch sharded across devices.
+
+    ``devices`` (or ``mesh``'s device list) each receive an equal batch
+    slice; ``B`` must divide evenly.  Dispatches are issued back-to-back
+    (async), so wall time is one slice's decode plus dispatch overhead —
+    aggregate throughput scales with the device count.  Returns the same
+    tuple-of-(B, T) buffers as ``net.generate``.
+    """
+    if devices is None:
+        devices = (
+            list(mesh.devices.flat) if mesh is not None else jax.devices()
+        )
+    devices = list(devices)
+    B = np.shape(prompts[0])[0]
+    n = len(devices)
+    if n < 2 or B % n:
+        return net.generate(
+            prompts, n_steps, temperature=temperature, rng=rng
+        )
+    if rng is None:
+        rng = net.next_rng()
+    keys = jax.random.split(rng, n)
+    sl = B // n
+    orig_params = net.params
+    outs = []
+    try:
+        for i, (dev, key) in enumerate(zip(devices, keys)):
+            # pin params + slice to the device; the net's cached jitted
+            # decoder (scan or fused kernel) then executes THERE, and the
+            # loop moves on without waiting (async dispatch)
+            net.params = _device_params(net, dev)
+            slice_prompts = tuple(
+                jax.device_put(np.asarray(p)[i * sl : (i + 1) * sl], dev)
+                for p in prompts
+            )
+            outs.append(
+                net.generate(
+                    slice_prompts, n_steps, temperature=temperature, rng=key
+                )
+            )
+    finally:
+        net.params = orig_params
+    return tuple(
+        np.concatenate([np.asarray(o[v]) for o in outs], axis=0)
+        for v in range(len(outs[0]))
+    )

@@ -359,3 +359,57 @@ def test_sharded_pallas_decode_matches_unsharded_kernel(monkeypatch):
     # an odd batch that doesn't split over the mesh falls back to the
     # sharded scan (still exact for argmax)
     assert not net._use_pallas_decode_sharded(7, 16, 24, mesh, argmax=True)
+
+
+def test_sharded_generate_covers_the_zoo(monkeypatch):
+    """parallel.sharded_generate shards any net's decode batch across
+    devices (params pinned per device, async dispatches, no collectives);
+    argmax rows must equal the unsharded call for every family."""
+    import jax
+
+    from mimikit_tpu.parallel import sharded_generate
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    devices = jax.devices()[:4]
+
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    io_e = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    nets = [
+        mmk.SampleRNN.from_config(
+            mmk.SampleRNN.Config(
+                frame_sizes=(8, 4, 2), hidden_dim=16, io_spec=io
+            )
+        ),
+        mmk.WaveNet.from_config(
+            mmk.WaveNet.Config(
+                io_spec=io_e, blocks=(3,), dims_dilated=(16,),
+                skips_dim=None, residuals_dim=None, pad_side=0,
+            )
+        ),
+        mmk.SimpleTransformer.from_config(
+            mmk.SimpleTransformer.Config(
+                io_spec=io_e, model_dim=16, n_heads=2, feedforward_dim=32,
+                num_layers=1, rf=8,
+            )
+        ),
+    ]
+    for net in nets:
+        net.seed(0)
+        prior_t = max(2 * net.rf, 16)
+        prompts = (np.random.randint(0, 32, (8, prior_t)).astype(np.int32),)
+        net._ensure_params(prompts)
+        a = sharded_generate(
+            net, prompts, 12, temperature=None,
+            rng=jax.random.PRNGKey(1), devices=devices,
+        )
+        b = net.generate(
+            prompts, 12, temperature=None, rng=jax.random.PRNGKey(1)
+        )
+        assert np.array_equal(np.asarray(a[0]), np.asarray(b[0])), type(net)
+        # params restored after the call
+        assert net.params is not None
