@@ -110,3 +110,20 @@ def test_generate_chunks(wav_dir, monkeypatch):
     )
     assert tracks.shape[0] == 2
     assert os.path.exists(str(wav_dir / "chunks.h5"))
+
+
+def test_serving_demo(wav_dir, monkeypatch):
+    monkeypatch.chdir(wav_dir)
+    audio, outs = mmk.demos.serving.demo(
+        sources=(str(wav_dir / "tone.wav"),),
+        db_path=str(wav_dir / "serving.h5"),
+        n_chunks=2,
+        chunk_seconds=0.005,
+        max_epochs=1,
+        limit_train_batches=2,
+        batch_size=2,
+        root_dir=str(wav_dir / "trainings"),
+    )
+    assert audio.shape == (2 * 80,)  # 2 chunks x 0.005 s x 16 kHz
+    assert np.isfinite(audio).all()
+    assert outs[0].shape[1] == 4000 + 80  # prompt + chunk_steps
