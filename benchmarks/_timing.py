@@ -1,69 +1,11 @@
-"""Honest device timing under the remote-device tunnel.
+"""Honest device timing — shim over :mod:`mimikit_tpu.timing`.
 
-``jax.block_until_ready`` does not actually block when the device is
-reached through a tunnel (the proxy reports buffers ready on dispatch), so
-wall-clock timing around it measures dispatch latency, not compute.  The
-only reliable completion fence is a value read: a one-element read
-transfers 4 bytes and costs one tunnel round-trip (~35 ms), which these
-helpers measure and subtract.
+The canonical fence/timeit implementation lives in the package so the
+public profiler (``mimikit_tpu.loops.profiler``) shares it; see that
+module's docstring for why ``jax.block_until_ready`` cannot be trusted
+through the device tunnel.
 """
-import time
-
-
-def fence(x) -> float:
-    """Force completion of ``x`` (array or nest of arrays) via a scalar read."""
-    import jax.numpy as jnp
-
-    while isinstance(x, (tuple, list)):
-        x = x[0]
-    v = jnp.ravel(x)[-1]
-    if jnp.iscomplexobj(v):
-        v = jnp.abs(v)
-    return float(v)
-
-
-def read_rtt(x, n: int = 4) -> float:
-    """Round-trip cost of the fence itself on an already-computed value."""
-    fence(x)
-    t0 = time.time()
-    for _ in range(n):
-        fence(x)
-    return (time.time() - t0) / n
-
-
-def timeit(fn, *args, n: int = 5, min_seconds: float = 0.5) -> float:
-    """Steady-state seconds per call: queue n async calls, fence once,
-    subtract the fence's own round-trip.
-
-    The fence round-trip has millisecond-scale jitter, so a batch of calls
-    whose total device time is comparable to one round-trip measures noise
-    (and can even clamp to the floor, reporting absurd throughput).  ``n``
-    auto-scales until the timed region dominates the fence: the reported
-    value is trustworthy for ops from ~microseconds up."""
-    out = fn(*args)  # compile + warm
-    rtt = read_rtt(out)
-
-    def run(k):
-        t0 = time.time()
-        for _ in range(k):
-            o = fn(*args)
-        fence(o)
-        return time.time() - t0 - rtt
-
-    elapsed = run(n)
-    if elapsed < min_seconds:
-        # too fast to time against the fence's jitter: size one re-run so
-        # the timed region dominates (capped — per-dispatch host cost bounds
-        # how many calls are worth queueing)
-        per_call = max(elapsed / n, 1e-7)
-        n = min(max(n, int(min_seconds / per_call) + 1), 4096)
-        elapsed = run(n)
-    if elapsed < 0.1 * rtt:
-        # still unresolvable against the fence round-trip even at the call
-        # cap: refuse to report a nonsense number — clamp to a tenth of the
-        # round-trip, making the result an explicit upper bound on speed
-        elapsed = 0.1 * rtt
-    return max(elapsed / n, 1e-9)
+from mimikit_tpu.timing import fence, read_rtt, step_flops, timeit  # noqa: F401
 
 
 def write_bench_json(name: str, results: list) -> str:
@@ -84,15 +26,3 @@ def write_bench_json(name: str, results: list) -> str:
             {"backend": jax.default_backend(), "results": results}, fp, indent=1
         )
     return path
-
-
-def step_flops(jitted, *args) -> float:
-    """XLA's own FLOP count for one call of a jitted fn (0 if the backend
-    can't report it)."""
-    try:
-        ca = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0))
-    except Exception:
-        return 0.0

@@ -176,6 +176,33 @@ class GenerateLoopV2:
                     for b in self.network.generate(batch, self.n_steps, **params)
                 )
             else:
+                if getattr(self.network, "generate", None) is not None and (
+                    not getattr(self, "_warned_stepwise", False)
+                ):
+                    # the stepwise loop is reference-semantics but orders of
+                    # magnitude slower (seq2seq: 3.3 frames/s vs 61k fast,
+                    # BENCH_decode.json) — a config quirk routing here must
+                    # not be silent
+                    import warnings
+
+                    unsupported = sorted(
+                        set(params)
+                        - set(
+                            __import__("inspect")
+                            .signature(self.network.generate)
+                            .parameters
+                        )
+                    )
+                    warnings.warn(
+                        f"{type(self.network).__name__} has a fast whole-"
+                        f"decode `generate`, but sampler param(s) "
+                        f"{unsupported} are not in its signature — falling "
+                        "back to the per-step reference loop, which can be "
+                        ">10,000x slower. Drop the unsupported param(s) to "
+                        "use the fast path.",
+                        stacklevel=2,
+                    )
+                    self._warned_stepwise = True
                 final_outputs = self._stepwise(batch, prompt_idx, params)
 
             outputs = self.process_outputs(

@@ -35,8 +35,17 @@ def annotate(name: str):
 
 
 class StepTimer:
-    """Wall-clock per-step timing with percentile summary (blocks on device
-    completion so timings are honest)."""
+    """Wall-clock per-step timing with percentile summary.
+
+    Device completion is fenced with a scalar value read
+    (:func:`mimikit_tpu.timing.fence`), NOT ``jax.block_until_ready`` —
+    through this image's TPU tunnel the latter returns on dispatch and
+    would time dispatch latency (a >100x overstatement; see
+    ``mimikit_tpu/timing.py``).  The fence's own ~35 ms round-trip can be
+    measured once with :func:`mimikit_tpu.timing.read_rtt` and subtracted
+    by the caller; for sub-round-trip steps prefer
+    :func:`mimikit_tpu.timing.timeit`, which pipelines calls against a
+    single fence."""
 
     def __init__(self, name: str = "step"):
         self.name = name
@@ -51,9 +60,9 @@ class StepTimer:
         self.times.append(time.perf_counter() - self._t0)
 
     def block_and_stop(self, result):
-        import jax
+        from ..timing import fence
 
-        jax.block_until_ready(result)
+        fence(result)
         self.times.append(time.perf_counter() - self._t0)
         return result
 

@@ -42,6 +42,18 @@ def _refeed_stream(net, prompt, chunk_steps: int, temperature, rng):
         )
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    # block-AR nets (seq2seq: hidden is per-block, decode emits whole
+    # hop-sized blocks) are only exact when chunk boundaries fall on block
+    # boundaries — a mid-block truncation misaligns every later window and
+    # the stream silently diverges from one long decode, so refuse it
+    hop = getattr(getattr(net, "config", None), "hop", None)
+    if hop and hop > 1 and chunk_steps % hop:
+        raise ValueError(
+            f"{type(net).__name__} decodes in blocks of hop={hop}: "
+            f"chunk_steps={chunk_steps} must be a multiple of hop for the "
+            "stream to match one long decode (round chunk_steps up to "
+            f"{-(-chunk_steps // hop) * hop})"
+        )
     # re-feed the span the net's decoder actually conditions on: nets whose
     # sliding-window decode rounds rf up to a framing-friendly window
     # (JukeBox: a multiple of frame_sizes[0]) look past rf — re-feeding

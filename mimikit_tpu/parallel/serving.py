@@ -24,17 +24,23 @@ import numpy as np
 __all__ = ["sharded_generate"]
 
 
-def _device_params(net, device):
-    """Replicate the net's params onto ``device`` once, cached on the net."""
+def _device_copies(net, params, devices):
+    """Replicate ``params`` onto each device once, cached on the net.
+
+    The cache holds a STRONG reference to the exact params pytree the
+    copies were made from and validates with ``is`` — an id()-keyed cache
+    would give false hits when CPython reuses the id of a freed tree
+    (silently serving stale weights after further training)."""
     cache = getattr(net, "_params_by_device", None)
-    if cache is None:
-        cache = {}
-        net._params_by_device = cache
-    key = (id(net.params), device)
-    if key not in cache:
-        cache.clear()  # params changed or new device set: drop stale copies
-        cache[key] = jax.device_put(net.params, device)
-    return cache[key]
+    if (
+        cache is not None
+        and cache[0] is params
+        and all(d in cache[1] for d in devices)
+    ):
+        return cache[1]
+    copies = {d: jax.device_put(params, d) for d in devices}
+    net._params_by_device = (params, copies)
+    return copies
 
 
 def sharded_generate(
@@ -53,6 +59,12 @@ def sharded_generate(
     (async), so wall time is one slice's decode plus dispatch overhead —
     aggregate throughput scales with the device count.  Returns the same
     tuple-of-(B, T) buffers as ``net.generate``.
+
+    .. note:: the net's ``params`` attribute is temporarily rebound to
+       each device copy while its slice dispatches (restored on return):
+       ``sharded_generate`` must not run concurrently with other uses of
+       the same net object (e.g. an active ``stream_tokens`` generator
+       being advanced from another thread).
     """
     if devices is None:
         devices = (
@@ -70,13 +82,17 @@ def sharded_generate(
     keys = jax.random.split(rng, n)
     sl = B // n
     orig_params = net.params
+    # all device copies are derived from the ORIGINAL params before the
+    # dispatch loop mutates net.params (deriving inside the loop would key
+    # copy i on the device copy from iteration i-1, defeating the cache)
+    copies = _device_copies(net, orig_params, devices)
     outs = []
     try:
         for i, (dev, key) in enumerate(zip(devices, keys)):
             # pin params + slice to the device; the net's cached jitted
             # decoder (scan or fused kernel) then executes THERE, and the
             # loop moves on without waiting (async dispatch)
-            net.params = _device_params(net, dev)
+            net.params = copies[dev]
             slice_prompts = tuple(
                 jax.device_put(np.asarray(p)[i * sl : (i + 1) * sl], dev)
                 for p in prompts

@@ -445,9 +445,13 @@ class ClusterizerApp:
     @property
     def segments(self) -> List[dict]:
         """segments as currently edited by the user (start-time sorted);
-        falls back to the raw clustering when nothing is in the table"""
-        edited = self.segment_table.selected_segments
-        return edited if edited else self.pipeline.segments_from_clustering()
+        falls back to the raw clustering only when the table itself is
+        empty — when rows exist but the user deselected every one, the
+        selection is honored and ``[]`` is returned (bouncing everything
+        after an explicit deselect-all would invert the user's intent)"""
+        if not self.segment_table.segments:
+            return self.pipeline.segments_from_clustering()
+        return self.segment_table.selected_segments
 
     def bounce_selected_labels(self):
         """bounce the selected labels' raw segments, IGNORING user edits
