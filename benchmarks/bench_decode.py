@@ -122,14 +122,26 @@ def main():
         ("samplernn3_scan_b256", srnn, 256, 16384, 32, "0", 50_000.0),
         ("wavenet10_pallas_b8", wn, 8, 2048, wn.rf + 8, "auto", 1e6),
         ("wavenet10_pallas_b24", wn, 24, 2048, wn.rf + 8, "auto", 1e6),
+        # past b24 the dilation rings outgrow scoped VMEM: the fused path
+        # pipelines per-slice kernel dispatches (_pallas_batch_split)
+        ("wavenet10_pallas_b64", wn, 64, 2048, wn.rf + 8, "auto", 1e6),
+        ("wavenet10_pallas_b128", wn, 128, 2048, wn.rf + 8, "auto", 1e6),
+        ("wavenet10_pallas_b256", wn, 256, 2048, wn.rf + 8, "auto", 1e6),
         ("wavenet10_scan_b64", wn, 64, 2048, wn.rf + 8, "0", 1e6),
+        ("wavenet10_scan_b128", wn, 128, 2048, wn.rf + 8, "0", 1e6),
+        ("wavenet10_scan_b256", wn, 256, 2048, wn.rf + 8, "0", 1e6),
         ("transformer8l_pallas_b1", tf, 1, 4096, 64, "auto", 16000.0),
         ("transformer8l_scan_b1", tf, 1, 4096, 64, "0", 16000.0),
-        # hierarchical tiers: single streams run the fused tier-pyramid
-        # kernel, wide batches the shared sliding-window scan
+        # batched flat-transformer kernel: forced (flag=1) to map the
+        # kernel-vs-scan frontier — auto routes B>1 to the scan
+        ("transformer8l_pallas_b16", tf, 16, 4096, 64, "1", 16000.0),
+        ("transformer8l_scan_b16", tf, 16, 4096, 64, "0", 16000.0),
+        # hierarchical tiers: the fused tier-pyramid kernel batches streams
+        # too (frame-major block-diag attention) up to its VMEM envelope
         ("jukebox3_pallas_b1", jb, 1, 4096, 128, "auto", 16000.0),
         ("jukebox3_win_b1", jb, 1, 4096, 128, "0", 16000.0),
-        ("jukebox3_win_b16", jb, 16, 4096, 128, "auto", 16000.0),
+        ("jukebox3_pallas_b16", jb, 16, 4096, 128, "auto", 16000.0),
+        ("jukebox3_win_b16", jb, 16, 4096, 128, "0", 16000.0),
     ]
     for name, net, B, n_steps, prior_t, flag, base in cases:
         sps, us, used_pallas = bench(net, B, n_steps, prior_t, 256, flag)

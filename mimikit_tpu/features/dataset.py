@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses as dtc
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -18,6 +18,19 @@ from ..data.store import Database
 from .extractor import Extractor
 
 __all__ = ["DatasetConfig"]
+
+
+def _extract_one(serialized_extractor: str, source):
+    """Worker entry: deserialize the extractor config and load one source.
+
+    Top-level so a 'spawn' process pool can import it; extractors ship as
+    their own YAML serialization (the framework's config mechanism) rather
+    than pickle.  Returns a plain numpy array.
+    """
+    # Extractor is type_field=False: the YAML has no type tag, so the
+    # target type is passed explicitly
+    ex = Config.deserialize(serialized_extractor, Extractor)
+    return np.asarray(ex.load(source))
 
 
 @dtc.dataclass
@@ -34,7 +47,20 @@ class DatasetConfig(Config, type_field=False):
     def schema(self):
         return {e.name: e for e in self.extractors}
 
-    def create(self, mode: str = "w", **kwargs) -> Database:
+    def create(
+        self, mode: str = "w", n_workers: Optional[int] = None, **kwargs
+    ) -> Database:
+        """Extract every (extractor, source) pair and write the dataset.
+
+        ``n_workers`` > 1 decodes/extracts sources in a 'spawn' process
+        pool (the reference gets this for free from h5mapper's worker pool,
+        SURVEY §3.3 / reference ``loops/train_loops.py:114-123``); h5
+        writes stay serialized in the parent.  Default: one worker per CPU
+        core, capped by the source count — serial when that is 1.  Derived
+        extractors (array -> array) ship their parent's per-source output
+        to the worker.  Output is byte-identical to serial extraction
+        (order preserved; pinned in tests/test_utils.py).
+        """
         self.__post_init__()
         # fix loading files on a foreign filesystem: fall back to a walk from
         # the cwd for basenames that moved (reference ``dataset.py:32-39``)
@@ -55,26 +81,59 @@ class DatasetConfig(Config, type_field=False):
         db = Database(self.filename, mode=mode)
         db.attrs["sources"] = list(map(str, self.sources))
 
+        if n_workers is None:
+            n_workers = min(os.cpu_count() or 1, len(self.sources))
+        pool = None
+        if n_workers > 1 and len(self.sources) > 1:
+            try:
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+
+                # 'spawn' gives clean workers (a fork of a process holding
+                # a live TPU-tunnel backend is not safe to extract in)
+                pool = ProcessPoolExecutor(
+                    max_workers=n_workers, mp_context=mp.get_context("spawn")
+                )
+            except Exception as e:  # pragma: no cover — constrained envs
+                import warnings
+
+                warnings.warn(
+                    f"process pool unavailable ({e}); extracting serially"
+                )
+                pool = None
+
         # topologically simple: non-derived extractors first
         ordered = sorted(self.extractors, key=lambda e: e.derived_from is not None)
         per_source: dict = {}
-        for extractor in ordered:
-            outs, refs, pos = [], [], 0
-            for src in self.sources:
-                if extractor.derived_from is not None:
-                    inp = per_source[(extractor.derived_from, src)]
+        try:
+            for extractor in ordered:
+                inputs = [
+                    per_source[(extractor.derived_from, src)]
+                    if extractor.derived_from is not None
+                    else src
+                    for src in self.sources
+                ]
+                if pool is not None:
+                    ser = extractor.serialize()
+                    loaded = list(
+                        pool.map(_extract_one, [ser] * len(inputs), inputs)
+                    )
                 else:
-                    inp = src
-                out = np.asarray(extractor.load(inp))
-                per_source[(extractor.name, src)] = out
-                outs.append(out)
-                refs.append((pos, pos + out.shape[0]))
-                pos += out.shape[0]
-            data = np.concatenate(outs, axis=0) if outs else np.zeros((0,))
-            db.add_array(extractor.name, data, refs=refs)
-            extractor.after_create(db, extractor.name)
-            # expose attrs on the extractor (class_size property)
-            extractor.attrs = dict(db.h5f[extractor.name].attrs)
+                    loaded = [np.asarray(extractor.load(i)) for i in inputs]
+                outs, refs, pos = [], [], 0
+                for src, out in zip(self.sources, loaded):
+                    per_source[(extractor.name, src)] = out
+                    outs.append(out)
+                    refs.append((pos, pos + out.shape[0]))
+                    pos += out.shape[0]
+                data = np.concatenate(outs, axis=0) if outs else np.zeros((0,))
+                db.add_array(extractor.name, data, refs=refs)
+                extractor.after_create(db, extractor.name)
+                # expose attrs on the extractor (class_size property)
+                extractor.attrs = dict(db.h5f[extractor.name].attrs)
+        finally:
+            if pool is not None:
+                pool.shutdown()
         db.attrs["config"] = self.serialize()
         db.flush()
         db.config = self

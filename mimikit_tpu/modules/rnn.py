@@ -96,6 +96,17 @@ class RNNStack(nn.Module):
             "zeros", dtype=dtype,
         )
 
+    def _use_fused_lstm(self) -> bool:
+        """Fused whole-sequence Pallas LSTM (ops/pallas_lstm.py) replaces
+        the lax.scan on TPU backends for plain (non-weight-norm) LSTM
+        stacks; MMK_FUSED_LSTM=1 forces it (interpret mode on CPU — how
+        the parity tests run), =0 disables."""
+        if str(self.cell_type) != "lstm" or self.weight_norm:
+            return False
+        from ..ops.pallas_lstm import fused_lstm_enabled
+
+        return fused_lstm_enabled()
+
     def step(self, x_t, carry):
         """x_t: (B, D) one timestep; returns (y_t, new_carry)."""
         new_carry = []
@@ -118,13 +129,38 @@ class RNNStack(nn.Module):
                 carry,
             )
 
-        def body(c, x_t):
-            y_t, c2 = self.step(x_t, c)
-            return c2, y_t
+        if self._use_fused_lstm():
+            # whole-time-loop Pallas kernels with a hand-written backward
+            # (ops/pallas_lstm.py): XLA's scan costs ~3-5 us/iteration
+            # fwd+bwd in loop overhead alone on this TPU — the fused path
+            # is what makes RNN training MXU-bound instead of latency-bound
+            from ..ops.pallas_lstm import fused_lstm_layer
 
-        xs = jnp.swapaxes(x, 0, 1)  # (T, B, D)
-        final, ys = jax.lax.scan(body, tuple(carry), xs)
-        y = jnp.swapaxes(ys, 0, 1)
+            params = self.variables["params"]
+            ys = jnp.swapaxes(x, 0, 1)  # (T, B, D)
+            new_carry = []
+            for i in range(self.n_layers):
+                p = params[f"l{i}"]
+                Wi = jnp.concatenate(
+                    [p[f"i{g}"]["kernel"] for g in "ifgo"], axis=1
+                )
+                Wh = jnp.concatenate(
+                    [p[f"h{g}"]["kernel"] for g in "ifgo"], axis=1
+                )
+                b = jnp.concatenate([p[f"h{g}"]["bias"] for g in "ifgo"])
+                c0, h0 = carry[i]  # flax LSTM carry order: (c, h)
+                ys, h_T, c_T = fused_lstm_layer(ys, Wi, Wh, b, h0, c0)
+                new_carry.append((c_T, h_T))
+            final = tuple(new_carry)
+            y = jnp.swapaxes(ys, 0, 1)
+        else:
+            def body(c, x_t):
+                y_t, c2 = self.step(x_t, c)
+                return c2, y_t
+
+            xs = jnp.swapaxes(x, 0, 1)  # (T, B, D)
+            final, ys = jax.lax.scan(body, tuple(carry), xs)
+            y = jnp.swapaxes(ys, 0, 1)
         if train and self.dropout > 0:
             # functional dropout (submodules can't be created outside setup)
             keep = jax.random.bernoulli(

@@ -500,17 +500,21 @@ class SimpleTransformer(_StatefulTransformerARM):
             # off-TPU (and only when forced, for tests)
             return False
         c = self._config
-        # the fused kernel is the LOW-LATENCY single-stream path: its
-        # per-stream attention loop serializes over B, while the window
-        # scan batches streams into one wide MXU matmul per op.  Measured
-        # on v5e (8L, d=256, rf=64): B=1 kernel 26.5 us/step vs scan 62.9;
-        # B=8 kernel 372 us/step vs scan 140 — so route B>1 to the scan.
-        if B != 1:
+        # the fused kernel is the LOW-LATENCY small-batch path: its
+        # attention is per-stream block-diagonal (5 full-width ops per
+        # stream, `_bd_attend`), so per-step cost grows ~linearly with B
+        # while the window scan batches streams into one wide MXU matmul
+        # per op and wins at width.  MMK_PALLAS_DECODE=1 overrides (e.g.
+        # to measure the frontier — see BENCH_decode.json).
+        if B != 1 and flag != "1":
             return False
-        # activation working set (rf rows x feedforward lanes, a handful
-        # live at once) must stay inside scoped VMEM; weights + out buffer
-        # inside total VMEM (see SampleRNN._SCOPED_VMEM_BYTES)
-        if 3 * 4 * self.rf * max(c.feedforward_dim, c.model_dim) > 14 * 2**20:
+        # activation working set (B*rf rows x feedforward lanes, a handful
+        # live at once, plus the (rf, nH*rf) block-diag buffers) must stay
+        # inside scoped VMEM; weights + out buffer inside total VMEM (see
+        # SampleRNN._SCOPED_VMEM_BYTES)
+        if 3 * 4 * B * self.rf * max(
+            c.feedforward_dim, c.model_dim, c.n_heads * self.rf
+        ) > 14 * 2**20:
             return False
         w_bytes = 4 * sum(
             int(np.prod(l.shape))
@@ -852,14 +856,23 @@ class JukeBox(_StatefulTransformerARM):
             return False
         if jax.default_backend() == "cpu" and (flag != "1" or not argmax):
             return False
-        # like the flat transformer's kernel, this is the LOW-LATENCY
-        # single-stream path: per-stream attention serializes over B
-        # while the window scan batches streams into wide MXU matmuls
-        if B != 1:
-            return False
         c = self._config
         W = self._window_len()
-        if 3 * 4 * W * max(c.feedforward_dim, c.model_dim) > 14 * 2**20:
+        # the kernel batches streams too (frame-major rows + stream×head
+        # block-diagonal attention, `_bd_attend`): B multiplies both the
+        # block-diag row count (B*n) and lane count (nH*B*n), so the gate
+        # is the scoped-VMEM envelope of the attention working set — a
+        # handful of (R, C) f32 buffers live at once (S/E/mb/P + the two
+        # iota masks) — plus the FFN working set and the usual
+        # weights+output total-VMEM budget.  Past the envelope the window
+        # scan takes over (see BENCH_decode.json for the measured
+        # kernel-vs-scan batch frontier).
+        span = W - c.frame_sizes[0]
+        n_max = max(span // f for f in c.frame_sizes[:-1])
+        R, C = B * n_max, c.n_heads * B * n_max
+        if 8 * 4 * R * C > 12 * 2**20:
+            return False
+        if 3 * 4 * B * n_max * max(c.feedforward_dim, c.model_dim) > 14 * 2**20:
             return False
         w_bytes = 4 * sum(
             int(np.prod(l.shape))
@@ -973,6 +986,107 @@ class JukeBox(_StatefulTransformerARM):
         dec = self._make_window_decoder(B, Tp + pad, n_steps, x.dtype, argmax)
         out = dec(self.params, x, rng, temp)
         return (out[:, pad:],)
+
+    def stream(self, prompts: Tuple, chunk_steps: int, temperature=None,
+               rng=None):
+        """Unbounded generation: yield ``(B, chunk_steps)`` token chunks
+        forever, continuing EXACTLY across chunks.
+
+        When the fused tier-pyramid kernel is eligible, the (B, W) token
+        window — JukeBox's ENTIRE decode state — is carried across kernel
+        calls on-device (``make_jukebox_pallas_decoder(carry_window=True)``):
+        the argmax stream equals one long argmax decode token-for-token
+        (pinned in ``tests/test_streaming.py``), and each chunk costs one
+        dispatch + one host read instead of the window re-feed's
+        pad/re-window round-trip.  Sampled streams draw from the same
+        tempered distribution with an independent per-chunk seed schedule.
+        Without the fused path, falls back to window re-feeding (exact —
+        the window IS the state — but slower per chunk)."""
+        prompt = jnp.asarray(prompts[0])
+        self._ensure_params((prompt,))
+        B, Tp = prompt.shape
+        argmax = temperature is None
+        if rng is None:
+            rng = self.next_rng()
+        if not self._use_pallas_decode(B, Tp, chunk_steps, argmax=argmax):
+            from ..loops.streaming import _refeed_stream
+
+            yield from _refeed_stream(
+                self, prompt, chunk_steps, temperature, rng
+            )
+            return
+
+        from ..ops.pallas_decode import (
+            jukebox_weight_pack,
+            make_jukebox_pallas_decoder,
+        )
+
+        c = self._config
+        W = self._window_len()
+        pad = max(W - Tp, 0)
+        x = (
+            jnp.concatenate([jnp.zeros((B, pad), prompt.dtype), prompt], 1)
+            if pad
+            else prompt
+        )
+        key = ("stream", B, chunk_steps, argmax)
+        if key not in self._decoders:
+            t_mod = c.io_spec.targets[0].module
+            q = c.io_spec.inputs[0].elem_type.size
+            n_head_dense = 0
+            core = self.params["output_modules_0"]["estimator"]["core"]
+            while f"Dense_{n_head_dense}" in core:
+                n_head_dense += 1
+            dec = make_jukebox_pallas_decoder(
+                tuple(c.frame_sizes),
+                c.model_dim,
+                c.n_heads,
+                c.feedforward_dim,
+                c.num_layers,
+                W,
+                q,
+                n_head_dense,
+                float(t_mod.min_temperature),
+                str(c.layer_activation),
+                int(c.positional_encoding),
+                B,
+                chunk_steps,
+                argmax,
+                interpret=jax.default_backend() == "cpu",
+                carry_window=True,
+            )
+            n_tiers, L = len(c.frame_sizes), c.num_layers
+            span = W - c.frame_sizes[0]
+            tier_rows = tuple(B * (span // f) for f in c.frame_sizes[:-1])
+
+            @jax.jit
+            def run(params, win, seed, temp):
+                # weight pack INSIDE jit: one fused dispatch per chunk
+                w = jukebox_weight_pack(
+                    params, n_tiers, L, tier_rows, head_rows=B
+                )
+                return dec(w, win, seed, temp)
+
+            self._decoders[key] = run
+        run = self._decoders[key]
+        temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        seed0 = int(
+            jax.random.randint(rng, (), 0, np.iinfo(np.int32).max // 2)
+        )
+        # decode lead 1: the window's last slot is the never-read
+        # placeholder for the position being predicted
+        win = jnp.concatenate(
+            [x[:, -(W - 1) :].astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)],
+            axis=1,
+        )
+        k = 0
+        while True:
+            toks, win = run(
+                self.params, win, jnp.asarray(seed0 + k, jnp.int32), temp
+            )
+            k += 1
+            # host numpy = the chunk's completion fence (win stays device)
+            yield np.asarray(toks)
 
     def train_batch(self, item_spec: ItemSpec):
         return tuple(

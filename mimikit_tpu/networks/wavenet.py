@@ -650,6 +650,24 @@ class WaveNet(ARM):
             and w_bytes + ring_bytes + io_bytes < 100 * 2**20
         )
 
+    _PALLAS_SPLIT_MIN_B = 8
+
+    def _pallas_batch_split(
+        self, B: int, prior_t: int, n_steps: int, argmax: bool
+    ):
+        """Sub-batch size to decode a batch too wide for the fused kernel's
+        dilation-ring VMEM envelope (the rings scale linearly with B —
+        ~0.5 MiB/stream for the 10-layer bench net, capping one kernel at
+        B≈24).  Streams are independent, so a wide batch decodes as
+        pipelined per-slice kernel dispatches (SampleRNN's batch-split
+        pattern).  None when even the smallest useful width fails."""
+        sub = B // 2
+        while sub >= self._PALLAS_SPLIT_MIN_B:
+            if self._use_pallas_decode(sub, prior_t, n_steps, argmax=argmax):
+                return sub
+            sub //= 2
+        return None
+
     def _pallas_generate(self, prompts, n_steps, temperature, rng):
         from ..ops.pallas_decode import (
             make_wavenet_pallas_decoder,
@@ -710,6 +728,28 @@ class WaveNet(ARM):
             )
             if out is not None:
                 return out
+        elif not getattr(self, "_pallas_disabled", False):
+            sub = self._pallas_batch_split(
+                B, prior_t, n_steps, argmax=temperature is None
+            )
+            if sub is not None:
+                # batch too wide for one kernel's dilation rings: slice and
+                # pipeline one fused dispatch per slice (async — the device
+                # runs them back-to-back)
+                starts = range(0, B, sub)
+                keys = jax.random.split(rng, len(starts))
+                outs = [
+                    self.generate(
+                        tuple(p[i : i + sub] for p in prompts),
+                        n_steps,
+                        temperature,
+                        rng=k,
+                    )
+                    for i, k in zip(starts, keys)
+                ]
+                return tuple(
+                    jnp.concatenate(parts, axis=0) for parts in zip(*outs)
+                )
         # warm-up reads an rf-window ending at prior_t - 1: left-pad short
         # prompts with zeros (static amount, sliced off afterwards)
         pad_left = max(0, self.rf + 1 - prior_t)

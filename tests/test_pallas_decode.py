@@ -327,6 +327,47 @@ def test_batch_split_pallas_matches_scan_exactly(force_pallas, monkeypatch):
     assert np.array_equal(a, b)
 
 
+def test_wavenet_batch_split_pallas_matches_scan_exactly(
+    force_pallas, monkeypatch
+):
+    """A WaveNet batch past the kernel's dilation-ring VMEM envelope
+    decodes as pipelined per-slice fused dispatches — argmax tokens must
+    equal the scan decoder's for the whole batch."""
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io, blocks=(3,), dims_dilated=(16,), skips_dim=16,
+            residuals_dim=16, pad_side=0,
+        )
+    )
+    net.seed(0)
+    rf = net.rf
+    B, prior_t, n_steps = 8, rf + 4, 30
+    prompts = (np.random.randint(0, 32, (B, prior_t)).astype(np.int32),)
+    net._ensure_params(prompts)
+
+    real_gate = type(net)._use_pallas_decode
+    monkeypatch.setattr(
+        type(net),
+        "_use_pallas_decode",
+        lambda self, b, p, n, argmax=True: (
+            b <= 2 and real_gate(self, b, p, n, argmax=argmax)
+        ),
+    )
+    monkeypatch.setattr(type(net), "_PALLAS_SPLIT_MIN_B", 1)
+    assert net._pallas_batch_split(B, prior_t, n_steps, argmax=True) == 2
+    a = np.asarray(net.generate(prompts, n_steps=n_steps, temperature=None)[0])
+
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    b = np.asarray(net.generate(prompts, n_steps=n_steps, temperature=None)[0])
+    assert a.shape == b.shape == (B, prior_t + n_steps)
+    assert np.array_equal(a, b)
+
+
 def _jukebox(q=32, frame_sizes=(8, 4, 2), rf=16):
     io = mmk.IOSpec.mulaw_io(
         mmk.IOSpec.MuLawIOConfig(q_levels=q, mlp_dim=16, n_mlp_layers=1)
@@ -342,7 +383,7 @@ def _jukebox(q=32, frame_sizes=(8, 4, 2), rf=16):
 
 
 @pytest.mark.parametrize(
-    "frame_sizes,B", [((8, 4, 2), 1), ((8, 2), 1), ((8, 4, 2), 2)]
+    "frame_sizes,B", [((8, 4, 2), 1), ((8, 2), 1), ((8, 4, 2), 2), ((8, 4, 2), 4)]
 )
 def test_pallas_jukebox_argmax_matches_window_scan_exactly(
     force_pallas, monkeypatch, frame_sizes, B
@@ -354,20 +395,15 @@ def test_pallas_jukebox_argmax_matches_window_scan_exactly(
     prompts = (np.random.randint(0, 32, (B, W)).astype(np.int32),)
     jb._ensure_params(prompts)
     _jitter_params(jb, scale=0.3)
-    if B == 1:
-        assert jb._use_pallas_decode(B, W, 40, argmax=True), (
-            "pallas gate refused a supported jukebox config"
-        )
-        a = np.asarray(
-            jb.generate(prompts, n_steps=40, temperature=None,
-                        rng=jax.random.PRNGKey(1))[0]
-        )
-    else:
-        # B>1 routes to the window scan in production — still pin the
-        # kernel's multi-stream parity
-        a = np.asarray(
-            jb._pallas_generate(prompts, 40, None, jax.random.PRNGKey(1))[0]
-        )
+    # batched streams run the fused kernel too (frame-major rows +
+    # stream×head block-diagonal attention) — the gate accepts them
+    assert jb._use_pallas_decode(B, W, 40, argmax=True), (
+        "pallas gate refused a supported jukebox config"
+    )
+    a = np.asarray(
+        jb.generate(prompts, n_steps=40, temperature=None,
+                    rng=jax.random.PRNGKey(1))[0]
+    )
     monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
     jb._decoders.clear()
     b = np.asarray(
@@ -421,7 +457,10 @@ def test_pallas_jukebox_gate(force_pallas):
         )
     )
     assert not supports_pallas_jukebox(jb_rc)
-    # multi-stream routes to the window scan
     prompts = (np.random.randint(0, 32, (1, 16)).astype(np.int32),)
     jb._ensure_params(prompts)
-    assert not jb._use_pallas_decode(4, 16, 40, argmax=True)
+    # moderate stream batches run the fused kernel; a batch whose
+    # block-diagonal attention working set outgrows scoped VMEM must
+    # fall back to the window scan
+    assert jb._use_pallas_decode(4, 16, 40, argmax=True)
+    assert not jb._use_pallas_decode(1 << 14, 16, 40, argmax=True)

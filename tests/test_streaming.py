@@ -160,6 +160,45 @@ def test_jukebox_refeed_stream_matches_long_decode_exactly():
     np.testing.assert_array_equal(streamed, long)
 
 
+@pytest.mark.parametrize("B", [1, 2])
+def test_jukebox_fused_stream_matches_long_decode_exactly(monkeypatch, B):
+    """The fused JukeBox stream carries the (B, W) token window across
+    kernel calls on-device (carry_window=True): the concatenated argmax
+    chunks must equal one long fused decode token-for-token."""
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "1")  # interpret-mode kernel
+    io = _mulaw_io(mlp=32)
+    jb = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=io, frame_sizes=(8, 4, 2), model_dim=32, n_heads=4,
+            feedforward_dim=64, num_layers=1, rf=16, input_dropout=0.0,
+        )
+    )
+    jb.seed(0)
+    W = jb._window_len()
+    chunk, n_chunks = 8, 3
+    prompt = np.random.RandomState(4).randint(0, 64, (B, W)).astype(np.int32)
+    jb._ensure_params((prompt,))
+
+    import jax
+
+    rng = jax.random.PRNGKey(11)
+    assert jb._use_pallas_decode(B, W, chunk, argmax=True)
+    chunks = list(
+        itertools.islice(
+            jb.stream((prompt,), chunk, temperature=None, rng=rng), n_chunks
+        )
+    )
+    assert all(c.shape == (B, chunk) for c in chunks)
+    streamed = np.concatenate(chunks, axis=1)
+
+    long = np.asarray(
+        jb.generate(
+            (prompt,), n_steps=n_chunks * chunk, temperature=None, rng=rng
+        )[0]
+    )[:, W:]
+    np.testing.assert_array_equal(streamed, long)
+
+
 def test_stream_auto_initializes_params(monkeypatch):
     monkeypatch.setenv("MMK_PALLAS_DECODE", "1")
     net = mmk.SampleRNN.from_config(

@@ -240,6 +240,42 @@ def test_indices_sampler_fixed_and_random():
     assert idx[1] % 4 == 0 and 0 <= idx[1] < 100
 
 
+def test_parallel_dataset_creation_matches_serial(tmp_path):
+    """n_workers>1 extracts sources in a spawn process pool (reference
+    gets this from h5mapper's workers, SURVEY §3.3) — the dataset must be
+    byte-identical to serial creation, refs included."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    srcs = []
+    for i in range(3):
+        t = np.arange(4000) / 16000.0
+        wav = (0.3 * np.sin(2 * np.pi * (200 + 110 * i) * t) * 32767).astype(
+            np.int16
+        )
+        p = str(tmp_path / f"s{i}.wav")
+        wavfile.write(p, 16000, wav)
+        srcs.append(p)
+
+    def mk(fn, nw):
+        return mmk.DatasetConfig(
+            sources=tuple(srcs),
+            filename=str(tmp_path / fn),
+            extractors=(mmk.Extractor.signal(sr=16000),),
+        ).create(mode="w", n_workers=nw)
+
+    ser = mk("ser.h5", 1)
+    par = mk("par.h5", 2)
+    np.testing.assert_array_equal(
+        np.asarray(ser.signal[:]), np.asarray(par.signal[:])
+    )
+    assert [tuple((r.start, r.stop)) for r in ser.signal.refs] == [
+        tuple((r.start, r.stop)) for r in par.signal.refs
+    ]
+    ser.close()
+    par.close()
+
+
 def test_database_reopens_after_close(tmp_path):
     """Training loops close their handle on teardown, but the Database
     object commonly outlives them (train then generate from the same db)."""
