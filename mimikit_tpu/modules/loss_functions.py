@@ -27,11 +27,22 @@ __all__ = [
 
 
 def cross_entropy(output, target):
-    """Mean CE over all positions; output (..., C) logits, target (...) ints."""
+    """Mean CE over all positions; output (..., C) logits, target (...) ints.
+
+    Written gather-free: ``take_along_axis`` lowers to a serialized gather
+    on TPU (and its BACKWARD to a scatter) — measured ~0.76 ms fwd alone
+    on the SampleRNN train step's (65536, 256) logits.  The iota-compare
+    select fuses into the elementwise pass over the logits instead, and
+    its backward is the same fused mask (softmax - one_hot).
+    """
     logits = output.reshape(-1, output.shape[-1])
-    labels = target.reshape(-1)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, labels[:, None], axis=-1).mean()
+    labels = target.reshape(-1).astype(jnp.int32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    classes = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    picked = jnp.sum(
+        jnp.where(classes == labels[:, None], logits, 0.0), axis=-1
+    )
+    return (lse - picked).mean()
 
 
 @dtc.dataclass

@@ -229,9 +229,7 @@ def _make_layer(T: int, B: int, D: int, H: int, interpret: bool):
     def _fwd(x, Wi, Wh, b, h0, c0):
         xi = (
             jnp.einsum(
-                "tbd,dk->tbk", x, Wi,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                "tbd,dk->tbk", x, Wi, preferred_element_type=jnp.float32
             )
             + b
         )
@@ -253,15 +251,14 @@ def _make_layer(T: int, B: int, D: int, H: int, interpret: bool):
             dh_all, dh_T, dc_T, gates, c_all, cprev, hprev, Wh
         )
         db = dxi.sum(axis=(0, 1))
+        # default matmul precision: matches flax's Dense (and is ~2x the
+        # throughput of HIGHEST on the MXU — measured 169 vs ~70 us for
+        # tier-1's dWi in the train-step trace)
         dWi = jnp.einsum(
-            "tbd,tbk->dk", x, dxi,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            "tbd,tbk->dk", x, dxi, preferred_element_type=jnp.float32
         )
         dx = jnp.einsum(
-            "tbk,dk->tbd", dxi, Wi,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            "tbk,dk->tbd", dxi, Wi, preferred_element_type=jnp.float32
         )
         return dx, dWi, dWh, db, dh0, dc0
 

@@ -279,6 +279,54 @@ def test_sharded_training_step_matches_single_device():
         )
 
 
+def test_sharded_checkpoint_roundtrip_continues_like_unsharded(tmp_path):
+    """VERDICT r3 item 7: train 2 steps under (4,2)+fsdp sharding, save a
+    checkpoint FROM THE SHARDED PARAMS (CheckpointBank gathers addressable
+    shards via np.asarray), restore into a fresh net, continue 2 more
+    steps single-device — final params must match an unsharded run that
+    restarted its optimizer at the same point (the resume contract,
+    reference ``loops/train_loops.py:248-261``)."""
+    import jax
+
+    from mimikit_tpu.checkpoint import Checkpoint
+    from mimikit_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    net, batches = _equivalence_fixture()
+    rng = np.random.RandomState(11)
+    B, T = batches[0][0].shape[0], batches[0][1].shape[1]
+    more = [
+        (
+            rng.randint(0, 32, (B, net.rf + T)).astype(np.int32),
+            rng.randint(0, 32, (B, T)).astype(np.int32),
+        )
+        for _ in range(2)
+    ]
+    orig_params = net.params
+    ref_mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+
+    # sharded leg: 2 fsdp steps -> checkpoint from sharded params
+    mesh = make_mesh(n_data=4, n_model=2)
+    _, params_sharded, _ = _run_two_steps(net, batches, mesh, fsdp=True)
+    net.params = jax.device_put(params_sharded)  # as returned: host tree
+    ck = Checkpoint(id="sharded", epoch=2, root_dir=str(tmp_path)).create(net)
+
+    # restore into a FRESH network object and continue unsharded
+    net2 = Checkpoint(id="sharded", epoch=2, root_dir=str(tmp_path)).network
+    assert _max_tree_dev(net2.params, params_sharded) == 0.0
+    _, params_resumed, _ = _run_two_steps(net2, more, ref_mesh, fsdp=False)
+
+    # reference leg: same 4 steps unsharded, optimizer restarted after 2
+    net.params = orig_params
+    _, params_mid, _ = _run_two_steps(net, batches, ref_mesh, fsdp=False)
+    net.params = jax.device_put(params_mid)
+    _, params_ref, _ = _run_two_steps(net, more, ref_mesh, fsdp=False)
+
+    assert _max_tree_dev(params_resumed, params_ref) < 1e-4
+    ck.delete()
+
+
 def test_fsdp_training_runs(tmp_path):
     """TrainARMLoop with fully-sharded params over the data axis."""
     import jax
