@@ -123,10 +123,13 @@ def main():
         ("wavenet10_pallas_b8", wn, 8, 2048, wn.rf + 8, "auto", 1e6),
         ("wavenet10_pallas_b24", wn, 24, 2048, wn.rf + 8, "auto", 1e6),
         # past b24 the dilation rings outgrow scoped VMEM: the fused path
-        # pipelines per-slice kernel dispatches (_pallas_batch_split)
-        ("wavenet10_pallas_b64", wn, 64, 2048, wn.rf + 8, "auto", 1e6),
-        ("wavenet10_pallas_b128", wn, 128, 2048, wn.rf + 8, "auto", 1e6),
-        ("wavenet10_pallas_b256", wn, 256, 2048, wn.rf + 8, "auto", 1e6),
+        # pipelines per-slice kernel dispatches (_pallas_batch_split).
+        # flag=1 FORCES the split to map the frontier — measured the scan
+        # wins from 3+ slices, so auto routes b>48 to the scan
+        # (networks/wavenet.py crossover comment)
+        ("wavenet10_pallas_b64", wn, 64, 2048, wn.rf + 8, "1", 1e6),
+        ("wavenet10_pallas_b128", wn, 128, 2048, wn.rf + 8, "1", 1e6),
+        ("wavenet10_pallas_b256", wn, 256, 2048, wn.rf + 8, "1", 1e6),
         ("wavenet10_scan_b64", wn, 64, 2048, wn.rf + 8, "0", 1e6),
         ("wavenet10_scan_b128", wn, 128, 2048, wn.rf + 8, "0", 1e6),
         ("wavenet10_scan_b256", wn, 256, 2048, wn.rf + 8, "0", 1e6),

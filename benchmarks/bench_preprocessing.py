@@ -64,6 +64,55 @@ def main():
         }
         for k, v in results.items()
     ]
+
+    # corpus creation: serial vs process-pool extraction
+    # (DatasetConfig.create(n_workers=...), VERDICT r3 item 6).  Speedup is
+    # ~linear in CORES; this benchmark box exposes a single core
+    # (os.cpu_count()==1), so the honest expectation HERE is ~1x — the
+    # entry records the measured ratio and the core count so the claim is
+    # auditable on wider hosts.
+    import tempfile
+
+    from scipy.io import wavfile
+
+    tmp = tempfile.mkdtemp(prefix="mmk_corpus_")
+    srcs = []
+    for i in range(6):
+        t = np.arange(sr * 20) / sr
+        wav = (0.3 * np.sin(2 * np.pi * (110 + 60 * i) * t) * 32767).astype(
+            np.int16
+        )
+        p = os.path.join(tmp, f"s{i}.wav")
+        wavfile.write(p, sr, wav)
+        srcs.append(p)
+
+    def create(nw, fn):
+        cfg = mmk.DatasetConfig(
+            sources=tuple(srcs),
+            filename=os.path.join(tmp, fn),
+            extractors=(mmk.Extractor.signal(sr=sr),),
+        )
+        t0 = time.time()
+        db = cfg.create(mode="w", n_workers=nw)
+        dt = time.time() - t0
+        db.close()
+        return dt
+
+    create(1, "warm.h5")  # touch the files once (page cache)
+    t_serial = create(1, "ser.h5")
+    t_par = create(2, "par.h5")
+    entries.append(
+        {
+            "metric": "preproc_corpus_create_speedup_2workers",
+            "value": round(t_serial / t_par, 2),
+            "unit": "x_serial",
+            "vs_baseline": round(t_serial / t_par, 2),
+            "serial_s": round(t_serial, 2),
+            "parallel_s": round(t_par, 2),
+            "host_cores": os.cpu_count(),
+        }
+    )
+
     for e in entries:
         print(json.dumps(e))
     from _timing import write_bench_json

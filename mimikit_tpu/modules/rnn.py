@@ -96,16 +96,28 @@ class RNNStack(nn.Module):
             "zeros", dtype=dtype,
         )
 
-    def _use_fused_lstm(self) -> bool:
+    def _use_fused_lstm(self, B: int, T: int) -> bool:
         """Fused whole-sequence Pallas LSTM (ops/pallas_lstm.py) replaces
         the lax.scan on TPU backends for plain (non-weight-norm) LSTM
         stacks; MMK_FUSED_LSTM=1 forces it (interpret mode on CPU — how
-        the parity tests run), =0 disables."""
+        the parity tests run), =0 disables.
+
+        Size gate: the kernel wins when there is enough work to amortize
+        its launch (measured on v5e: seq2seq TRAIN B=32 x T=8 — 4.5 vs
+        5.0 ms/step fused-vs-scan; seq2seq block-AR DECODE B=1 x T=8 —
+        fused 10% slower), so tiny single-stream calls keep the scan
+        unless forced."""
         if str(self.cell_type) != "lstm" or self.weight_norm:
             return False
+        import os
+
         from ..ops.pallas_lstm import fused_lstm_enabled
 
-        return fused_lstm_enabled()
+        if not fused_lstm_enabled():
+            return False
+        if os.environ.get("MMK_FUSED_LSTM") == "1":
+            return True
+        return B * T >= 64
 
     def step(self, x_t, carry):
         """x_t: (B, D) one timestep; returns (y_t, new_carry)."""
@@ -129,7 +141,7 @@ class RNNStack(nn.Module):
                 carry,
             )
 
-        if self._use_fused_lstm():
+        if self._use_fused_lstm(B, T):
             # whole-time-loop Pallas kernels with a hand-written backward
             # (ops/pallas_lstm.py): XLA's scan costs ~3-5 us/iteration
             # fwd+bwd in loop overhead alone on this TPU — the fused path

@@ -500,12 +500,15 @@ class SimpleTransformer(_StatefulTransformerARM):
             # off-TPU (and only when forced, for tests)
             return False
         c = self._config
-        # the fused kernel is the LOW-LATENCY small-batch path: its
+        # the fused kernel is the LOW-LATENCY single-stream path: its
         # attention is per-stream block-diagonal (5 full-width ops per
         # stream, `_bd_attend`), so per-step cost grows ~linearly with B
         # while the window scan batches streams into one wide MXU matmul
-        # per op and wins at width.  MMK_PALLAS_DECODE=1 overrides (e.g.
-        # to measure the frontier — see BENCH_decode.json).
+        # per op.  Measured on v5e (8L, d=256, rf=64, BENCH_decode): B=1
+        # kernel 25.8 us/step vs scan 66.5 (2.6x); B=16 kernel 263.9 vs
+        # scan 254.6 — the step is MXU-bound there and the scan wins, so
+        # auto routes B>1 to the scan.  MMK_PALLAS_DECODE=1 overrides
+        # (how the bench maps the frontier).
         if B != 1 and flag != "1":
             return False
         # activation working set (B*rf rows x feedforward lanes, a handful
@@ -864,9 +867,11 @@ class JukeBox(_StatefulTransformerARM):
         # is the scoped-VMEM envelope of the attention working set — a
         # handful of (R, C) f32 buffers live at once (S/E/mb/P + the two
         # iota masks) — plus the FFN working set and the usual
-        # weights+output total-VMEM budget.  Past the envelope the window
-        # scan takes over (see BENCH_decode.json for the measured
-        # kernel-vs-scan batch frontier).
+        # weights+output total-VMEM budget.  Measured on v5e (3-tier
+        # d=128 bench net, BENCH_decode): batching is nearly free in the
+        # kernel — b16 12.4 us/step vs b1's 10.2, i.e. 1.29M samples/s =
+        # 3.96x the b16 window scan.  Past the envelope the scan takes
+        # over.
         span = W - c.frame_sizes[0]
         n_max = max(span // f for f in c.frame_sizes[:-1])
         R, C = B * n_max, c.n_heads * B * n_max

@@ -732,7 +732,16 @@ class WaveNet(ARM):
             sub = self._pallas_batch_split(
                 B, prior_t, n_steps, argmax=temperature is None
             )
-            if sub is not None:
+            # measured crossover (v5e, 10-layer bench net, BENCH_decode):
+            # 2 slices still beat the scan (b32), but 3+ slices serialize
+            # past it — split b64 2.9M vs scan 3.2M, b128 3.6M vs 4.7M,
+            # b256 3.8M vs 4.3M samples/s.  Auto engages the split only up
+            # to 2 slices; MMK_PALLAS_DECODE=1 forces it (the bench maps
+            # the frontier that way).
+            if sub is not None and not (
+                B > 2 * sub
+                and os.environ.get("MMK_PALLAS_DECODE", "auto") != "1"
+            ):
                 # batch too wide for one kernel's dilation rings: slice and
                 # pipeline one fused dispatch per slice (async — the device
                 # runs them back-to-back)

@@ -165,9 +165,20 @@ def test_fused_lstm_gate_rejects_non_lstm(monkeypatch):
     from mimikit_tpu.modules.rnn import RNNStack
 
     gru = RNNStack(hidden_dim=8, n_layers=1, cell_type="gru")
-    assert not gru._use_fused_lstm()
+    assert not gru._use_fused_lstm(32, 256)
     wn = RNNStack(hidden_dim=8, n_layers=1, cell_type="lstm", weight_norm=True)
-    assert not wn._use_fused_lstm()
+    assert not wn._use_fused_lstm(32, 256)
     monkeypatch.setenv("MMK_FUSED_LSTM", "0")
     lstm = RNNStack(hidden_dim=8, n_layers=1, cell_type="lstm")
-    assert not lstm._use_fused_lstm()
+    assert not lstm._use_fused_lstm(32, 256)
+    # size gate: tiny single-stream calls keep the scan on 'auto' (the
+    # kernel launch outweighs 8 scan iterations — measured on v5e), but
+    # =1 forces the kernel (how the parity tests run on CPU)
+    monkeypatch.setenv("MMK_FUSED_LSTM", "1")
+    assert lstm._use_fused_lstm(1, 8)
+    monkeypatch.delenv("MMK_FUSED_LSTM")
+    import jax
+
+    expected_big = jax.default_backend() != "cpu"
+    assert lstm._use_fused_lstm(32, 256) == expected_big
+    assert not lstm._use_fused_lstm(1, 8)
