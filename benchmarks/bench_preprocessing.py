@@ -66,11 +66,16 @@ def main():
     ]
 
     # corpus creation: serial vs process-pool extraction
-    # (DatasetConfig.create(n_workers=...), VERDICT r3 item 6).  Speedup is
-    # ~linear in CORES; this benchmark box exposes a single core
-    # (os.cpu_count()==1), so the honest expectation HERE is ~1x — the
-    # entry records the measured ratio and the core count so the claim is
-    # auditable on wider hosts.
+    # (DatasetConfig.create(n_workers=...), VERDICT r3 item 6).  The
+    # per-source work is a REAL host feature pipeline (signal -> STFT
+    # magnitudes via the np path) over 2-minute files so the ratio
+    # reflects extraction compute.  Speedup is ~linear in CORES; this
+    # benchmark box exposes ONE core (recorded in the entry), so the
+    # honest expectation HERE is <=1x — worker-process startup (~7 s of
+    # jax import each, amortized over a corpus in real use) plus zero
+    # extra cores; the capability claim (byte-identical parallel
+    # extraction) is pinned in tests/test_utils.py and scales on any
+    # multi-core host.
     import tempfile
 
     from scipy.io import wavfile
@@ -78,7 +83,7 @@ def main():
     tmp = tempfile.mkdtemp(prefix="mmk_corpus_")
     srcs = []
     for i in range(6):
-        t = np.arange(sr * 20) / sr
+        t = np.arange(sr * 120) / sr
         wav = (0.3 * np.sin(2 * np.pi * (110 + 60 * i) * t) * 32767).astype(
             np.int16
         )
@@ -90,7 +95,14 @@ def main():
         cfg = mmk.DatasetConfig(
             sources=tuple(srcs),
             filename=os.path.join(tmp, fn),
-            extractors=(mmk.Extractor.signal(sr=sr),),
+            extractors=(
+                mmk.Extractor.signal(sr=sr),
+                mmk.Extractor(
+                    name="fft",
+                    functional=mmk.MagSpec(n_fft=2048, hop_length=512),
+                    derived_from="signal",
+                ),
+            ),
         )
         t0 = time.time()
         db = cfg.create(mode="w", n_workers=nw)
@@ -98,7 +110,8 @@ def main():
         db.close()
         return dt
 
-    create(1, "warm.h5")  # touch the files once (page cache)
+    for p in srcs:  # touch the files once (page cache)
+        open(p, "rb").read()
     t_serial = create(1, "ser.h5")
     t_par = create(2, "par.h5")
     entries.append(
@@ -110,6 +123,7 @@ def main():
             "serial_s": round(t_serial, 2),
             "parallel_s": round(t_par, 2),
             "host_cores": os.cpu_count(),
+            "note": "single-core box: pool startup dominates; see comment",
         }
     )
 

@@ -364,12 +364,16 @@ def bench_loop_level():
     net = mmk.SampleRNN.from_config(
         mmk.SampleRNN.Config(frame_sizes=(16, 8, 8), hidden_dim=256, io_spec=io)
     )
-    batch_size, batch_length, per_epoch = 32, 2048, 64
+    # 256-step epochs: the loop's fixed per-epoch costs (ONE stacked index
+    # upload + ONE metrics read, ~35 ms tunnel RTT each) amortize the way a
+    # real multi-thousand-batch epoch would; 64-step epochs overstated the
+    # loop overhead by ~1.5 ms/step
+    batch_size, batch_length, per_epoch = 32, 2048, 256
     train = mmk.TrainARMConfig(
         root_dir=os.path.join(tmp, "tr"),
         batch_size=batch_size,
         batch_length=batch_length,
-        max_epochs=6,
+        max_epochs=5,
         limit_train_batches=per_epoch,
         max_lr=1e-4,
         every_n_epochs=100,

@@ -424,6 +424,7 @@ class TrainARMLoop:
                     rng = self.net.next_rng()
                     last_B = None
                     next_check = 0
+                    pending_loss = None  # deferred NaN probe (see below)
                     bar = tqdm(
                         total=len(self.loader),
                         desc=f"Epoch {epoch}",
@@ -456,8 +457,20 @@ class TrainARMLoop:
                         n_batches += K
                         bar.update(K)
                         if n_batches >= next_check:
-                            self.metrics.check_loss(float(last_loss))
+                            # deferred by one checkpoint: reading the loss
+                            # JUST dispatched would drain the whole async
+                            # dispatch queue (a tunnel value read returns
+                            # only after every queued step completes); the
+                            # PREVIOUS checkpoint's loss has long finished,
+                            # so its read overlaps the device's progress —
+                            # NaN detection trails by nan_check_every
+                            # batches, same guarantee one checkpoint later
+                            if pending_loss is not None:
+                                self.metrics.check_loss(float(pending_loss))
+                            pending_loss = last_loss
                             next_check = n_batches + nan_check_every
+                    if pending_loss is not None:
+                        self.metrics.check_loss(float(pending_loss))
                     bar.close()
                 else:
                     bar = tqdm(
