@@ -88,7 +88,12 @@ def bench_net(name, net, io, batch_size, batch_length, n_steps=20,
     net.init_params(batch_size=batch_size, batch_length=batch_length)
     loss_fn = io.loss_fn
     module = net.module
-    tx = optax.adam(1e-3)
+    # the train loop's single-device path ravels the param tree so the
+    # optimizer update is ONE fused kernel (mimikit_tpu/optim.py) — bench
+    # the same step the loop runs
+    from mimikit_tpu.optim import flat_optimizer
+
+    tx = flat_optimizer(optax.adam(1e-3), net.params)
     opt_state = tx.init(net.params)
 
     def step(params, opt_state, inputs, targets, rng):

@@ -14,6 +14,7 @@ reference (``/root/reference/mimikit/__init__.py:16-28``).
 __version__ = "0.1.0"
 
 from .config import *
+from .optim import *
 from .utils import *
 from .features import *
 from .data import *

@@ -23,6 +23,7 @@ import numpy as np
 import optax
 
 from ..config import Config
+from ..optim import can_flatten, flat_optimizer, ravel_restored_state
 from ..features.dataset import DatasetConfig
 from ..features.item_spec import ItemSpec
 from ..data.samplers import TBPTTSampler
@@ -394,10 +395,23 @@ class TrainARMLoop:
             self.net._ensure_params(inputs)
         if self.opt is None:
             self.opt = self.get_optimizer(self.net, self.loader, cfg)
+        # single-device: ravel the param tree so the optimizer update is ONE
+        # fused kernel instead of one per leaf (53 launches -> 1 for the
+        # seq2seq net; bit-exact, see mimikit_tpu/optim.py).  Sharded params
+        # must keep the per-leaf layout — raveling would undo fsdp.
+        restored = self._restored_opt_state
+        if (
+            self.mesh is None
+            and bool(cfg.trainer_kwargs.get("flat_optimizer", True))
+            and can_flatten(self.net.params)
+        ):
+            self.opt = flat_optimizer(self.opt, self.net.params)
+            if restored is not None:
+                # states saved by the unwrapped optimizer (or by an older
+                # version) carry per-leaf mu/nu trees — ravel them to match
+                restored = ravel_restored_state(restored, self.net.params)
         self.opt_state = (
-            self._restored_opt_state
-            if self._restored_opt_state is not None
-            else self.opt.init(self.net.params)
+            restored if restored is not None else self.opt.init(self.net.params)
         )
         self._build_step()
 

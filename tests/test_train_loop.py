@@ -282,3 +282,81 @@ def test_beta_scheduler_shapes_and_training_step():
         )
     assert bool(jnp.all(jnp.isfinite(params["w"])))
     assert float(params["w"][0]) < 1.0  # it actually descended
+
+
+def test_flat_optimizer_bit_exact_and_state_ravel():
+    """mimikit_tpu/optim.py: the raveled-single-kernel optimizer computes
+    the SAME update the per-leaf one does (elementwise math over the same
+    values), including through MultiSteps accumulation; tree-form saved
+    states convert losslessly."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mimikit_tpu.optim import (
+        can_flatten,
+        flat_optimizer,
+        ravel_restored_state,
+    )
+
+    rng = np.random.RandomState(0)
+    params = {
+        "a": {"w": jnp.asarray(rng.randn(7, 5), jnp.float32),
+              "b": jnp.asarray(rng.randn(5), jnp.float32)},
+        "c": jnp.asarray(rng.randn(3, 5), jnp.float32),
+    }
+    assert can_flatten(params)
+    assert not can_flatten(
+        {"x": jnp.zeros((2,), jnp.float32), "y": jnp.zeros((2,), jnp.int32)}
+    )
+
+    sched = optax.cosine_onecycle_schedule(20, 1e-2, 0.3)
+    for wrap_multi in (False, True):
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adam(sched)
+        )
+        if wrap_multi:
+            tx = optax.MultiSteps(tx, every_k_schedule=2)
+        ftx = flat_optimizer(tx, params)
+        p_t, p_f = params, params
+        s_t, s_f = tx.init(params), ftx.init(params)
+        for step in range(5):
+            g = jax.tree_util.tree_map(
+                lambda p: jnp.asarray(
+                    np.random.RandomState(step).randn(*p.shape), p.dtype
+                ),
+                params,
+            )
+            u_t, s_t = tx.update(g, s_t, p_t)
+            u_f, s_f = ftx.update(g, s_f, p_f)
+            p_t = optax.apply_updates(p_t, u_t)
+            p_f = optax.apply_updates(p_f, u_f)
+        for lt, lf in zip(
+            jax.tree_util.tree_leaves(p_t), jax.tree_util.tree_leaves(p_f)
+        ):
+            assert lt.shape == lf.shape
+            # clip_by_global_norm sums squares in a different order on the
+            # flat vector (one reduction) than on the tree (per-leaf then
+            # total) — a <=1-ULP rounding difference; everything else in
+            # the chain is elementwise and exact
+            np.testing.assert_allclose(
+                np.asarray(lt), np.asarray(lf), rtol=0, atol=1e-7
+            )
+
+    # tree-form state (saved by the unwrapped optimizer) ravels into the
+    # flat layout and continues identically
+    tx = optax.adam(1e-3)
+    s_tree = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    u, s_tree = tx.update(g, s_tree, params)
+    p_after = optax.apply_updates(params, u)
+    ftx = flat_optimizer(tx, params)
+    s_conv = ravel_restored_state(s_tree, params)
+    # one more step from the converted state == one more step from the tree
+    u2_t, _ = tx.update(g, s_tree, p_after)
+    u2_f, _ = ftx.update(g, s_conv, p_after)
+    for lt, lf in zip(
+        jax.tree_util.tree_leaves(optax.apply_updates(p_after, u2_t)),
+        jax.tree_util.tree_leaves(optax.apply_updates(p_after, u2_f)),
+    ):
+        np.testing.assert_array_equal(np.asarray(lt), np.asarray(lf))
