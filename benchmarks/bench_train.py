@@ -258,6 +258,18 @@ def main():
         )
     )
     bench_net("transformer8l", tr, io3, batch_size=8, batch_length=512)
+    tr2 = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=io3, model_dim=256, n_heads=8, feedforward_dim=1024,
+            num_layers=8, rf=512, input_dropout=0.0,
+        )
+    )
+    # unlike the RNNs, the transformer step is MXU-bound — bf16 matmul
+    # precision should move this one
+    bench_net(
+        "transformer8l_bf16", tr2, io3, batch_size=8, batch_length=512,
+        matmul_precision="bfloat16",
+    )
 
     bench_wavegan()
     bench_loop_level()

@@ -360,3 +360,57 @@ def test_flat_optimizer_bit_exact_and_state_ravel():
         jax.tree_util.tree_leaves(optax.apply_updates(p_after, u2_f)),
     ):
         np.testing.assert_array_equal(np.asarray(lt), np.asarray(lf))
+
+
+def test_loop_engages_flat_optimizer(tmp_path):
+    """The single-device loop must actually run the raveled optimizer:
+    the Adam moments in opt_state are ONE flat leaf, not a param tree
+    (guards against a gate regression silently restoring 50+ per-leaf
+    update kernels)."""
+    import jax
+    import optax
+
+    ds_cfg = make_db_config(tmp_path, filename="flat-opt.h5")
+    db = ds_cfg.create(mode="w")
+    net = _make_net(ds_cfg.extractors[0])
+    config = mmk.TrainARMConfig(
+        root_dir=str(tmp_path),
+        limit_train_batches=2,
+        max_epochs=1,
+        CHECKPOINT_TRAINING=False,
+        MONITOR_TRAINING=False,
+        OUTPUT_TRAINING="",
+    )
+    loop = mmk.TrainARMLoop.from_config(config, dataset=db, network=net)
+    loop.run()
+    n_param_leaves = len(jax.tree_util.tree_leaves(net.params))
+    assert n_param_leaves > 1
+    adam_states = [
+        s for s in jax.tree_util.tree_leaves(
+            loop.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
+        )
+        if isinstance(s, optax.ScaleByAdamState)
+    ]
+    assert adam_states, "no adam state found in opt_state"
+    assert len(jax.tree_util.tree_leaves(adam_states[0].mu)) == 1
+
+    # opt-out flag restores the per-leaf layout
+    net2 = _make_net(ds_cfg.extractors[0])
+    config2 = mmk.TrainARMConfig(
+        root_dir=str(tmp_path),
+        limit_train_batches=2,
+        max_epochs=1,
+        CHECKPOINT_TRAINING=False,
+        MONITOR_TRAINING=False,
+        OUTPUT_TRAINING="",
+        trainer_kwargs={"flat_optimizer": False},
+    )
+    loop2 = mmk.TrainARMLoop.from_config(config2, dataset=db, network=net2)
+    loop2.run()
+    adam_states2 = [
+        s for s in jax.tree_util.tree_leaves(
+            loop2.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
+        )
+        if isinstance(s, optax.ScaleByAdamState)
+    ]
+    assert len(jax.tree_util.tree_leaves(adam_states2[0].mu)) == n_param_leaves
