@@ -190,8 +190,14 @@ def _wavegan_check(mmk, cfg, sr, freq):
     )
     batch, n_critic = 32, 5
     gan.init_params(batch_size=batch)
-    g_opt = optax.adam(1e-4, b1=0.5, b2=0.9)
-    d_opt = optax.adam(1e-4, b1=0.5, b2=0.9)
+    from mimikit_tpu.optim import flat_optimizer
+
+    g_opt = flat_optimizer(
+        optax.adam(1e-4, b1=0.5, b2=0.9), gan.gen_params["params"]
+    )
+    d_opt = flat_optimizer(
+        optax.adam(1e-4, b1=0.5, b2=0.9), gan.disc_params["params"]
+    )
     g_state = g_opt.init(gan.gen_params["params"])
     d_state = d_opt.init(gan.disc_params["params"])
     d_step, g_step = make_wavegan_steps(gan, g_opt, d_opt, g_batch=batch)

@@ -54,8 +54,14 @@ def demo(
     cfg = mmk.WaveGAN.Config(**{**defaults, **overrides})
     gan = mmk.WaveGAN.from_config(cfg)
     gan.init_params(batch_size=batch_size)
-    g_opt = optax.adam(1e-4, b1=0.5, b2=0.9)
-    d_opt = optax.adam(1e-4, b1=0.5, b2=0.9)
+    from mimikit_tpu.optim import flat_optimizer
+
+    g_opt = flat_optimizer(
+        optax.adam(1e-4, b1=0.5, b2=0.9), gan.gen_params["params"]
+    )
+    d_opt = flat_optimizer(
+        optax.adam(1e-4, b1=0.5, b2=0.9), gan.disc_params["params"]
+    )
     g_state = g_opt.init(gan.gen_params["params"])
     d_state = d_opt.init(gan.disc_params["params"])
     d_step, g_step = make_wavegan_steps(
