@@ -110,8 +110,9 @@ def main():
         db.close()
         return dt
 
-    for p in srcs:  # touch the files once (page cache)
-        open(p, "rb").read()
+    # warm both the page cache AND the one-time in-process costs (h5 setup,
+    # first MagSpec call, lazy imports) so neither timed run absorbs them
+    create(1, "warm.h5")
     t_serial = create(1, "ser.h5")
     t_par = create(2, "par.h5")
     entries.append(

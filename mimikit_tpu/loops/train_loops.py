@@ -23,7 +23,13 @@ import numpy as np
 import optax
 
 from ..config import Config
-from ..optim import can_flatten, flat_optimizer, ravel_restored_state
+from ..optim import (
+    FlatOptimizer,
+    can_flatten,
+    flat_optimizer,
+    ravel_restored_state,
+    unravel_restored_state,
+)
 from ..features.dataset import DatasetConfig
 from ..features.item_spec import ItemSpec
 from ..data.samplers import TBPTTSampler
@@ -206,6 +212,9 @@ class TrainARMLoop:
         if self.tbptt_len is not None:
             self.tbptt_len //= self.train_cfg.batch_length
         self.opt = opt
+        # user-supplied optimizers are used as-is: the flat rewrap is only
+        # safe for elementwise transforms (see mimikit_tpu/optim.py)
+        self._opt_user_supplied = opt is not None
         self.opt_state = None
         self.global_step = 0
         self.start_epoch = 0
@@ -397,22 +406,38 @@ class TrainARMLoop:
             self.opt = self.get_optimizer(self.net, self.loader, cfg)
         # single-device: ravel the param tree so the optimizer update is ONE
         # fused kernel instead of one per leaf (53 launches -> 1 for the
-        # seq2seq net; bit-exact, see mimikit_tpu/optim.py).  Sharded params
-        # must keep the per-leaf layout — raveling would undo fsdp.
+        # seq2seq net; bit-exact for elementwise transforms, see
+        # mimikit_tpu/optim.py).  Only the loop's own optimizer is wrapped
+        # (user-supplied transforms may be layout-dependent), never twice
+        # (run() can be re-entered after an interrupt), and sharded params
+        # keep the per-leaf layout — raveling would undo fsdp.
         restored = self._restored_opt_state
+        # consumed exactly once: the jitted step DONATES opt-state buffers,
+        # so after one run the restored tree holds deleted arrays — re-runs
+        # must continue from the live self.opt_state instead
+        self._restored_opt_state = None
         if (
             self.mesh is None
+            and not self._opt_user_supplied
+            and not isinstance(self.opt, FlatOptimizer)
             and bool(cfg.trainer_kwargs.get("flat_optimizer", True))
             and can_flatten(self.net.params)
         ):
             self.opt = flat_optimizer(self.opt, self.net.params)
-            if restored is not None:
-                # states saved by the unwrapped optimizer (or by an older
+        if restored is not None:
+            if isinstance(self.opt, FlatOptimizer):
+                # states saved by the unwrapped optimizer (or an older
                 # version) carry per-leaf mu/nu trees — ravel them to match
                 restored = ravel_restored_state(restored, self.net.params)
-        self.opt_state = (
-            restored if restored is not None else self.opt.init(self.net.params)
-        )
+            else:
+                # checkpoints saved by the flat optimizer resuming onto a
+                # per-leaf path (mesh/fsdp, flat_optimizer=False): expand
+                # the raveled moments back into param-shaped trees
+                restored = unravel_restored_state(restored, self.net.params)
+            self.opt_state = restored
+        elif self.opt_state is None:
+            self.opt_state = self.opt.init(self.net.params)
+        # else: re-entered run() — continue from the live optimizer state
         self._build_step()
 
         for cb in self.callbacks:

@@ -10,19 +10,23 @@ update into a single fused kernel at full HBM bandwidth; the only added
 cost is one concat of the grads and one unravel of the updates per step
 (2 x param-bytes of copies).
 
-``flat_optimizer`` wraps any ``optax.GradientTransformation`` (including
-composed chains, ``inject_hyperparams`` schedules and ``MultiSteps``): the
-wrapped transform sees a single-leaf tree, so every elementwise op —
-Adam moments, global-norm clipping, schedule scaling, micro-batch
-accumulation — computes the same values it would per-leaf.  Elementwise
-transforms (Adam, schedules, MultiSteps) are bit-exact vs the unwrapped
-optimizer; global reductions (clip_by_global_norm) sum squares in a
-different order and can differ by <=1 ULP (pinned in
-tests/test_train_loop.py).
+``flat_optimizer`` wraps any ELEMENTWISE ``optax.GradientTransformation``
+(composed chains, ``inject_hyperparams`` schedules and ``MultiSteps``
+included): the wrapped transform sees a single-leaf tree, so every
+elementwise op — Adam moments, global-norm clipping, schedule scaling,
+micro-batch accumulation — computes the same values it would per-leaf.
+Elementwise transforms (Adam, schedules, MultiSteps) are bit-exact vs the
+unwrapped optimizer; global reductions (clip_by_global_norm) sum squares
+in a different order and can differ by <=1 ULP (pinned in
+tests/test_train_loop.py).  Do NOT wrap transforms that depend on the
+tree layout or on leaf shapes — ``optax.multi_transform``/``masked``
+(label trees no longer match) or ``adafactor`` (factored moments
+degenerate on a 1-D vector); ``TrainARMLoop`` therefore only wraps the
+optimizer it builds itself, never a user-supplied one.
 
-Do NOT use under sharded (fsdp) params: raveling replicated-concats the
-sharded leaves and defeats the sharding; ``TrainARMLoop`` only applies the
-wrapper on the single-device path.
+Do NOT use under sharded (fsdp) params either: raveling
+replicated-concats the sharded leaves and defeats the sharding;
+``TrainARMLoop`` only applies the wrapper on the single-device path.
 
 Reference context: the torch reference keeps torch.optim.Adam's per-tensor
 loop (/root/reference/mimikit/loops/train_loops.py:60-75); fusing the
@@ -34,7 +38,18 @@ import jax
 import optax
 from jax.flatten_util import ravel_pytree
 
-__all__ = ["flat_optimizer", "ravel_restored_state", "can_flatten"]
+__all__ = [
+    "flat_optimizer",
+    "ravel_restored_state",
+    "unravel_restored_state",
+    "can_flatten",
+    "FlatOptimizer",
+]
+
+
+class FlatOptimizer(optax.GradientTransformation):
+    """Marker subclass so callers can detect an already-wrapped transform
+    (``isinstance(tx, FlatOptimizer)``) and avoid double-wrapping."""
 
 
 def can_flatten(params) -> bool:
@@ -48,16 +63,20 @@ def can_flatten(params) -> bool:
 
 
 def flat_optimizer(tx: optax.GradientTransformation,
-                   params_example) -> optax.GradientTransformation:
+                   params_example) -> "FlatOptimizer":
     """Wrap ``tx`` so it updates one raveled vector instead of the tree.
 
     ``params_example`` fixes the tree layout; the returned transform's
     ``init``/``update`` still take and return trees of that layout, so it
-    is a drop-in replacement anywhere ``tx`` was used.  State is the inner
+    is a drop-in replacement anywhere an elementwise ``tx`` was used (see
+    the module docstring for what does NOT qualify).  State is the inner
     transform's state over the flat vector (pickles/restores like any
-    optax state; see :func:`ravel_restored_state` for importing states
-    saved by the unwrapped optimizer).
+    optax state; :func:`ravel_restored_state` imports states saved by the
+    unwrapped optimizer, :func:`unravel_restored_state` exports back).
+    Wrapping an already-wrapped transform raises.
     """
+    if isinstance(tx, FlatOptimizer):
+        raise ValueError("optimizer is already flat_optimizer-wrapped")
     _, unravel = ravel_pytree(params_example)
 
     def init(params):
@@ -70,28 +89,61 @@ def flat_optimizer(tx: optax.GradientTransformation,
         uflat, state = tx.update(gflat, state, pflat, **extra)
         return unravel(uflat), state
 
-    return optax.GradientTransformation(init, update)
+    return FlatOptimizer(init, update)
+
+
+def _match_param_subtrees(state: Any, params, convert):
+    """tree_map ``convert`` over every state subtree whose STRUCTURE AND
+    LEAF SHAPES match ``params`` (Adam's mu/nu, MultiSteps' acc_grads, ...;
+    shape matching keeps scalars like step counts out even for single-leaf
+    param trees)."""
+    tdef = jax.tree_util.tree_structure(params)
+    shapes = [l.shape for l in jax.tree_util.tree_leaves(params)]
+
+    def is_param_tree(x):
+        try:
+            if jax.tree_util.tree_structure(x) != tdef:
+                return False
+            return [
+                getattr(l, "shape", None)
+                for l in jax.tree_util.tree_leaves(x)
+            ] == shapes
+        except Exception:
+            return False
+
+    return jax.tree_util.tree_map(
+        lambda x: convert(x) if is_param_tree(x) else x,
+        state,
+        is_leaf=is_param_tree,
+    )
 
 
 def ravel_restored_state(state: Any, params) -> Any:
     """Convert an optimizer state saved by the UNWRAPPED optimizer (leaf
-    subtrees shaped like ``params``) into the flat layout.
+    subtrees shaped like ``params``) into the flat layout.  States already
+    flat pass through unchanged."""
+    return _match_param_subtrees(
+        state, params, lambda x: ravel_pytree(x)[0]
+    )
 
-    Walks the state and ravels every subtree whose structure matches the
-    param tree (Adam's mu/nu, MultiSteps' acc_grads, ...).  States already
-    flat pass through unchanged.
-    """
-    tdef = jax.tree_util.tree_structure(params)
-    if tdef.num_leaves <= 1:
+
+def unravel_restored_state(state: Any, params) -> Any:
+    """Inverse of :func:`ravel_restored_state`: expand 1-D vectors of the
+    raveled param size back into param-shaped trees, so a checkpoint saved
+    by the flat optimizer restores onto a per-leaf path (fsdp/mesh resume,
+    or ``trainer_kwargs={"flat_optimizer": False}``)."""
+    flat, unravel = ravel_pytree(params)
+    n = flat.size
+
+    def is_flat_vec(x):
+        return getattr(x, "ndim", None) == 1 and getattr(x, "size", 0) == n
+
+    # nothing to do when the param tree is itself one 1-D vector
+    leaves = jax.tree_util.tree_leaves(params)
+    if len(leaves) == 1 and leaves[0].ndim == 1:
         return state
-
-    def is_param_tree(x):
-        try:
-            return jax.tree_util.tree_structure(x) == tdef
-        except Exception:
-            return False
-
-    def convert(x):
-        return ravel_pytree(x)[0] if is_param_tree(x) else x
-
-    return jax.tree_util.tree_map(convert, state, is_leaf=is_param_tree)
+    return jax.tree_util.tree_map(
+        lambda x: unravel(x) if is_flat_vec(x) else x,
+        state,
+        is_leaf=is_flat_vec,
+    )

@@ -414,3 +414,113 @@ def test_loop_engages_flat_optimizer(tmp_path):
         if isinstance(s, optax.ScaleByAdamState)
     ]
     assert len(jax.tree_util.tree_leaves(adam_states2[0].mu)) == n_param_leaves
+
+
+def test_flat_optimizer_guards_and_round_trips():
+    """The review-hardened edges: no double wrap, single-leaf trees still
+    convert shape-correctly, and flat-saved states expand back for
+    per-leaf (mesh / opted-out) resume."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mimikit_tpu.optim import (
+        FlatOptimizer,
+        flat_optimizer,
+        ravel_restored_state,
+        unravel_restored_state,
+    )
+
+    params = {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))}
+    ftx = flat_optimizer(optax.adam(1e-3), params)
+    assert isinstance(ftx, FlatOptimizer)
+    with pytest.raises(ValueError):
+        flat_optimizer(ftx, params)
+
+    # flat state -> per-leaf state -> flat state round trip
+    s_flat = ftx.init(params)
+    s_tree = unravel_restored_state(s_flat, params)
+    mu_leaves = [
+        s for s in jax.tree_util.tree_leaves(
+            s_tree, is_leaf=lambda x: isinstance(x, dict)
+        )
+        if isinstance(s, dict)
+    ]
+    assert mu_leaves, "flat mu was not expanded into the param tree"
+    tx = optax.adam(1e-3)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    u, _ = tx.update(g, s_tree, params)  # per-leaf tx accepts it
+    s_back = ravel_restored_state(s_tree, params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_back), jax.tree_util.tree_leaves(s_flat)
+    ):
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+    # single-leaf MULTI-DIM param tree: tree-form state must still ravel
+    # (the old num_leaves<=1 early-return skipped it), scalars untouched
+    p1 = {"w": jnp.ones((4, 3))}
+    tx1 = optax.adam(1e-3)
+    s1_tree = tx1.init(p1)
+    s1_flat = ravel_restored_state(s1_tree, p1)
+    f1 = flat_optimizer(optax.adam(1e-3), p1)
+    u1, _ = f1.update(
+        jax.tree_util.tree_map(jnp.ones_like, p1), s1_flat, p1
+    )
+    assert u1["w"].shape == (4, 3)
+
+
+def test_user_supplied_optimizer_is_not_wrapped(tmp_path):
+    """TrainARMLoop.from_config(opt=...) must use the transform as given —
+    layout-dependent user optimizers (multi_transform, adafactor) would
+    break or silently change numerics if raveled."""
+    import jax
+    import optax
+
+    from mimikit_tpu.optim import FlatOptimizer
+
+    ds_cfg = make_db_config(tmp_path, filename="useropt.h5")
+    db = ds_cfg.create(mode="w")
+    net = _make_net(ds_cfg.extractors[0])
+    config = mmk.TrainARMConfig(
+        root_dir=str(tmp_path),
+        limit_train_batches=2,
+        max_epochs=1,
+        CHECKPOINT_TRAINING=False,
+        MONITOR_TRAINING=False,
+        OUTPUT_TRAINING="",
+    )
+    user_tx = optax.adam(1e-3)
+    loop = mmk.TrainARMLoop.from_config(config, dataset=db, network=net, opt=user_tx)
+    loop.run()
+    assert loop.opt is user_tx
+    assert not isinstance(loop.opt, FlatOptimizer)
+    # per-leaf state layout preserved
+    adam_states = [
+        s for s in jax.tree_util.tree_leaves(
+            loop.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
+        )
+        if isinstance(s, optax.ScaleByAdamState)
+    ]
+    assert len(jax.tree_util.tree_leaves(adam_states[0].mu)) == len(
+        jax.tree_util.tree_leaves(net.params)
+    )
+
+
+def test_rerun_after_interrupt_does_not_double_wrap(tmp_path):
+    """run() twice on the same loop object (notebook interrupt-and-resume
+    pattern) must not re-wrap the already-flat optimizer."""
+    ds_cfg = make_db_config(tmp_path, filename="rerun.h5")
+    db = ds_cfg.create(mode="w")
+    net = _make_net(ds_cfg.extractors[0])
+    config = mmk.TrainARMConfig(
+        root_dir=str(tmp_path),
+        limit_train_batches=2,
+        max_epochs=1,
+        CHECKPOINT_TRAINING=False,
+        MONITOR_TRAINING=False,
+        OUTPUT_TRAINING="",
+    )
+    loop = mmk.TrainARMLoop.from_config(config, dataset=db, network=net)
+    loop.run()
+    loop.run()  # crashed at first step trace before the double-wrap guard
+    assert np.isfinite(loop.metrics.averages().get("loss", np.nan))
