@@ -112,9 +112,14 @@ def main():
 
     # warm both the page cache AND the one-time in-process costs (h5 setup,
     # first MagSpec call, lazy imports) so neither timed run absorbs them
-    create(1, "warm.h5")
-    t_serial = create(1, "ser.h5")
-    t_par = create(2, "par.h5")
+    try:
+        create(1, "warm.h5")
+        t_serial = create(1, "ser.h5")
+        t_par = create(2, "par.h5")
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     entries.append(
         {
             "metric": "preproc_corpus_create_speedup_2workers",

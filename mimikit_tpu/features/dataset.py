@@ -115,9 +115,28 @@ class DatasetConfig(Config, type_field=False):
                 ]
                 if pool is not None:
                     ser = extractor.serialize()
-                    loaded = list(
-                        pool.map(_extract_one, [ser] * len(inputs), inputs)
-                    )
+                    try:
+                        loaded = list(
+                            pool.map(_extract_one, [ser] * len(inputs), inputs)
+                        )
+                    except Exception as e:
+                        # spawn workers start lazily at the first map, not
+                        # at executor construction — e.g. an unguarded
+                        # `if __name__ == "__main__"`-less caller script
+                        # raises the multiprocessing bootstrap error HERE.
+                        # Parallelism is an optimization; never let it
+                        # break an extraction that works serially.
+                        import warnings
+
+                        warnings.warn(
+                            f"process-pool extraction failed ({e}); "
+                            "falling back to serial"
+                        )
+                        pool.shutdown(wait=False, cancel_futures=True)
+                        pool = None
+                        loaded = [
+                            np.asarray(extractor.load(i)) for i in inputs
+                        ]
                 else:
                     loaded = [np.asarray(extractor.load(i)) for i in inputs]
                 outs, refs, pos = [], [], 0

@@ -117,6 +117,14 @@ class RNNStack(nn.Module):
             return False
         if os.environ.get("MMK_FUSED_LSTM") == "1":
             return True
+        # auto-routing stays on shapes the kernel's tiling is known-good
+        # for: H must slice at lane-tile boundaries (the kernel splits the
+        # 4H gate block at multiples of H) and B must fill the 8-row
+        # sublane tile — un-jittable Mosaic rejections here would raise
+        # out of a user's TRAIN step with no runtime fallback (unlike the
+        # decode paths' pallas_generate_or_fallback)
+        if self.hidden_dim % 128 != 0 or B < 8:
+            return False
         return B * T >= 64
 
     def step(self, x_t, carry):

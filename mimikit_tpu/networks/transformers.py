@@ -696,6 +696,19 @@ class JukeBoxCore(nn.Module):
         )
 
 
+def _lead_window(xp, W: int):
+    """Decode-lead-1 window for the fused JukeBox kernel: keep the last
+    W-1 tokens and append the (never read) placeholder slot for the
+    position being predicted.  Shared by ``_pallas_generate`` and
+    ``stream`` so the lead convention cannot desynchronize (the pinned
+    stream == long-decode exactness depends on both using the same one)."""
+    B = xp.shape[0]
+    return jnp.concatenate(
+        [xp[:, -(W - 1):].astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)],
+        axis=1,
+    )
+
+
 class JukeBox(_StatefulTransformerARM):
     # The core's eval path predicts the target of the LAST BOTTOM FRAME,
     # which ends one token before the input's end — the final input token
@@ -840,6 +853,15 @@ class JukeBox(_StatefulTransformerARM):
     def _window_len(self) -> int:
         return self._default_init_len()
 
+    def _head_dense_count(self) -> int:
+        """Number of Dense layers in the output head's MLP core (the fused
+        kernel needs the static count; shared by generate and stream)."""
+        n = 0
+        core = self.params["output_modules_0"]["estimator"]["core"]
+        while f"Dense_{n}" in core:
+            n += 1
+        return n
+
     # -- fused Pallas decode (ops/pallas_decode.py) ---------------------------
     def _use_pallas_decode(
         self, B: int, prior_t: int, n_steps: int, argmax: bool = True
@@ -901,10 +923,7 @@ class JukeBox(_StatefulTransformerARM):
         c = self._config
         t_mod = c.io_spec.targets[0].module
         q = c.io_spec.inputs[0].elem_type.size
-        n_head_dense = 0
-        core = self.params["output_modules_0"]["estimator"]["core"]
-        while f"Dense_{n_head_dense}" in core:
-            n_head_dense += 1
+        n_head_dense = self._head_dense_count()
         key = ("pallas", B, Tp + pad, n_steps, argmax)
         if key not in self._decoders:
             dec = make_jukebox_pallas_decoder(
@@ -939,16 +958,7 @@ class JukeBox(_StatefulTransformerARM):
                 seed = jax.random.randint(
                     rng, (), 0, np.iinfo(np.int32).max
                 )
-                # decode lead 1: the window's last slot is the (never
-                # read) placeholder for the position being predicted
-                win0 = jnp.concatenate(
-                    [
-                        xp[:, -(W - 1) :].astype(jnp.int32),
-                        jnp.zeros((B, 1), jnp.int32),
-                    ],
-                    axis=1,
-                )
-                return dec(w, win0, seed, temp)
+                return dec(w, _lead_window(xp, W), seed, temp)
 
             self._decoders[key] = run
         temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
@@ -1034,63 +1044,86 @@ class JukeBox(_StatefulTransformerARM):
             if pad
             else prompt
         )
-        key = ("stream", B, chunk_steps, argmax)
-        if key not in self._decoders:
-            t_mod = c.io_spec.targets[0].module
-            q = c.io_spec.inputs[0].elem_type.size
-            n_head_dense = 0
-            core = self.params["output_modules_0"]["estimator"]["core"]
-            while f"Dense_{n_head_dense}" in core:
-                n_head_dense += 1
-            dec = make_jukebox_pallas_decoder(
-                tuple(c.frame_sizes),
-                c.model_dim,
-                c.n_heads,
-                c.feedforward_dim,
-                c.num_layers,
-                W,
-                q,
-                n_head_dense,
-                float(t_mod.min_temperature),
-                str(c.layer_activation),
-                int(c.positional_encoding),
-                B,
-                chunk_steps,
-                argmax,
-                interpret=jax.default_backend() == "cpu",
-                carry_window=True,
-            )
-            n_tiers, L = len(c.frame_sizes), c.num_layers
-            span = W - c.frame_sizes[0]
-            tier_rows = tuple(B * (span // f) for f in c.frame_sizes[:-1])
-
-            @jax.jit
-            def run(params, win, seed, temp):
-                # weight pack INSIDE jit: one fused dispatch per chunk
-                w = jukebox_weight_pack(
-                    params, n_tiers, L, tier_rows, head_rows=B
-                )
-                return dec(w, win, seed, temp)
-
-            self._decoders[key] = run
-        run = self._decoders[key]
         temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
         seed0 = int(
             jax.random.randint(rng, (), 0, np.iinfo(np.int32).max // 2)
         )
-        # decode lead 1: the window's last slot is the never-read
-        # placeholder for the position being predicted
-        win = jnp.concatenate(
-            [x[:, -(W - 1) :].astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)],
-            axis=1,
-        )
-        k = 0
+        # the first chunk covers both kernel construction and execution:
+        # an ungated Mosaic edge case must degrade to the exact window
+        # re-feed (same contract as generate's pallas_generate_or_fallback),
+        # not crash the serving loop.  Nothing has been yielded yet, so
+        # falling back with the original prompt is exact.
+        try:
+            key = ("stream", B, chunk_steps, argmax)
+            if key not in self._decoders:
+                t_mod = c.io_spec.targets[0].module
+                q = c.io_spec.inputs[0].elem_type.size
+                dec = make_jukebox_pallas_decoder(
+                    tuple(c.frame_sizes),
+                    c.model_dim,
+                    c.n_heads,
+                    c.feedforward_dim,
+                    c.num_layers,
+                    W,
+                    q,
+                    self._head_dense_count(),
+                    float(t_mod.min_temperature),
+                    str(c.layer_activation),
+                    int(c.positional_encoding),
+                    B,
+                    chunk_steps,
+                    argmax,
+                    interpret=jax.default_backend() == "cpu",
+                    carry_window=True,
+                )
+                n_tiers, L = len(c.frame_sizes), c.num_layers
+                span = W - c.frame_sizes[0]
+                tier_rows = tuple(B * (span // f) for f in c.frame_sizes[:-1])
+
+                @jax.jit
+                def run(params, win, seed, temp):
+                    # weight pack INSIDE jit: one fused dispatch per chunk
+                    w = jukebox_weight_pack(
+                        params, n_tiers, L, tier_rows, head_rows=B
+                    )
+                    return dec(w, win, seed, temp)
+
+                self._decoders[key] = run
+            run = self._decoders[key]
+            win = _lead_window(x, W)
+            toks, win = run(
+                self.params, win, jnp.asarray(seed0, jnp.int32), temp
+            )
+            first = np.asarray(toks)
+        except Exception as e:  # noqa: BLE001 — route to the exact re-feed
+            import os as _os
+            import warnings
+
+            if (
+                jax.default_backend() == "cpu"
+                and _os.environ.get("MMK_PALLAS_DECODE") == "1"
+            ):
+                raise  # forced interpret mode: tests must see kernel bugs
+            warnings.warn(
+                f"fused jukebox stream failed ({type(e).__name__}: {e}); "
+                "falling back to window re-feeding for this network"
+            )
+            self._pallas_disabled = True
+            self._decoders.pop(("stream", B, chunk_steps, argmax), None)
+            from ..loops.streaming import _refeed_stream
+
+            yield from _refeed_stream(
+                self, prompt, chunk_steps, temperature, rng
+            )
+            return
+        # host numpy = the chunk's completion fence (win stays device)
+        yield first
+        k = 1
         while True:
             toks, win = run(
                 self.params, win, jnp.asarray(seed0 + k, jnp.int32), temp
             )
             k += 1
-            # host numpy = the chunk's completion fence (win stays device)
             yield np.asarray(toks)
 
     def train_batch(self, item_spec: ItemSpec):
