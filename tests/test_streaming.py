@@ -253,3 +253,50 @@ def test_samplernn_batch_split_stream_matches_long_decode(monkeypatch):
         )[0]
     )[:, prior_t:]
     np.testing.assert_array_equal(streamed, long)
+
+
+def test_jukebox_stream_falls_back_exactly_on_kernel_failure(monkeypatch):
+    """An ungated Mosaic failure in the fused stream path (construction or
+    first chunk) must degrade to the exact window re-feed, not crash the
+    serving loop (same contract as generate's pallas_generate_or_fallback).
+    Simulated by making the kernel factory raise."""
+    io = _mulaw_io(mlp=32)
+    jb = mmk.JukeBox.from_config(
+        mmk.JukeBox.Config(
+            io_spec=io, frame_sizes=(8, 4, 2), model_dim=32, n_heads=4,
+            feedforward_dim=64, num_layers=1, rf=16, input_dropout=0.0,
+        )
+    )
+    jb.seed(0)
+    W = jb._window_len()
+    B, chunk, n_chunks = 1, 8, 3
+    prompt = np.random.RandomState(4).randint(0, 64, (B, W)).astype(np.int32)
+    jb._ensure_params((prompt,))
+
+    import jax
+
+    from mimikit_tpu.ops import pallas_decode
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated Mosaic failure")
+
+    # route the stream ONTO the fused path, then blow up its kernel factory
+    # (MMK_PALLAS_DECODE=1 would re-raise by design — tests must see real
+    # kernel bugs — so force routing via the instance gate instead)
+    monkeypatch.setattr(jb, "_use_pallas_decode", lambda *a, **k: True)
+    monkeypatch.setattr(pallas_decode, "make_jukebox_pallas_decoder", boom)
+
+    rng = jax.random.PRNGKey(11)
+    with pytest.warns(UserWarning, match="falling back to window re-feeding"):
+        chunks = list(
+            itertools.islice(
+                jb.stream((prompt,), chunk, temperature=None, rng=rng),
+                n_chunks,
+            )
+        )
+    assert jb._pallas_disabled
+    streamed = np.concatenate([np.asarray(c) for c in chunks], axis=1)
+    long = np.asarray(
+        jb.generate((prompt,), n_steps=n_chunks * chunk, temperature=None)[0]
+    )[:, W:]
+    np.testing.assert_array_equal(streamed, long)
