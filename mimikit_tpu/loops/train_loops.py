@@ -105,7 +105,9 @@ class TrainARMLoop:
         if cfg.trainer_kwargs.get("device_batching", True):
             from .device_loader import make_train_loader
 
-            return make_train_loader(dataset, net, cfg, prefer_device=True)
+            return cls._apply_data_seed(
+                make_train_loader(dataset, net, cfg, prefer_device=True), cfg
+            )
         user_spec = ItemSpec(
             shift=0,
             length=cfg.batch_length,
@@ -126,9 +128,28 @@ class TrainARMLoop:
             )
         else:
             loader_kwargs = dict(batch_size=cfg.batch_size, shuffle=True)
-        return dataset.serve(
-            batch, sampling_jitter=cfg.sampling_jitter, **loader_kwargs
+        return cls._apply_data_seed(
+            dataset.serve(
+                batch, sampling_jitter=cfg.sampling_jitter, **loader_kwargs
+            ),
+            cfg,
         )
+
+    @staticmethod
+    def _apply_data_seed(loader, cfg: TrainARMConfig):
+        """trainer_kwargs={"data_seed": N} pins the batch-sampling RNG for
+        reproducible trajectories (samplers otherwise seed from OS entropy,
+        matching the reference's unseeded DataLoader shuffle)."""
+        seed = cfg.trainer_kwargs.get("data_seed")
+        if seed is not None:
+            for obj in (
+                loader,
+                getattr(loader, "batch_sampler", None),
+                getattr(loader, "sampler", None),
+            ):
+                if obj is not None and hasattr(obj, "_rng"):
+                    obj._rng = np.random.RandomState(int(seed))
+        return loader
 
     @classmethod
     def get_optimizer(cls, net, dl, cfg: TrainARMConfig):
@@ -287,6 +308,34 @@ class TrainARMLoop:
         # trainer_kwargs={"matmul_precision": "bfloat16"} trades precision for
         # MXU throughput on the whole step (weights stay f32)
         precision = self.train_cfg.trainer_kwargs.get("matmul_precision")
+        # trainer_kwargs={"remat": True} rematerializes the forward in the
+        # backward pass (jax.checkpoint) instead of keeping every activation
+        # live in HBM — the standard TPU trade of MXU FLOPs for memory, for
+        # batch_length/batch_size combinations whose activations exceed the
+        # chip's 16 GB.  A string selects a jax.checkpoint_policies member
+        # (e.g. "dots_saveable" keeps matmul outputs and replays only the
+        # cheap elementwise chain).  Identical numerics either way (pinned
+        # in tests/test_train_loop.py); the reference has no equivalent —
+        # torch's checkpointing is opt-in per module and mimikit never
+        # wires it (reference loops/train_loops.py builds a plain step).
+        remat = self.train_cfg.trainer_kwargs.get("remat", False)
+
+        def apply_train(p, inputs, hidden, rng):
+            return module.apply(
+                {"params": p},
+                inputs,
+                hidden,
+                True,
+                rngs={"dropout": rng, "sample": rng},
+            )
+
+        if remat:
+            policy = (
+                getattr(jax.checkpoint_policies, remat)
+                if isinstance(remat, str)
+                else None
+            )
+            apply_train = jax.checkpoint(apply_train, policy=policy)
 
         def step(params, opt_state, hidden, inputs, targets, rng):
             if precision is not None:
@@ -296,13 +345,7 @@ class TrainARMLoop:
 
         def _step_body(params, opt_state, hidden, inputs, targets, rng):
             def compute_loss(p):
-                outputs, new_hidden = module.apply(
-                    {"params": p},
-                    inputs,
-                    hidden,
-                    True,
-                    rngs={"dropout": rng, "sample": rng},
-                )
+                outputs, new_hidden = apply_train(p, inputs, hidden, rng)
                 d = loss_fn(outputs, targets)
                 return d["loss"], (d, new_hidden)
 

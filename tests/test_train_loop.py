@@ -416,6 +416,42 @@ def test_loop_engages_flat_optimizer(tmp_path):
     assert len(jax.tree_util.tree_leaves(adam_states2[0].mu)) == n_param_leaves
 
 
+def test_remat_step_matches_plain(tmp_path):
+    """trainer_kwargs={"remat": ...} rematerializes the forward inside the
+    backward (jax.checkpoint) — an HBM-for-FLOPs trade that must not change
+    the training trajectory.  Fresh nets share PRNGKey(0), so two loops over
+    the same dataset are comparable leaf-by-leaf."""
+    import jax
+
+    ds_cfg = make_db_config(tmp_path, filename="remat.h5")
+    db = ds_cfg.create(mode="w")
+
+    def run(remat):
+        net = _make_net(ds_cfg.extractors[0])
+        config = mmk.TrainARMConfig(
+            root_dir=str(tmp_path),
+            limit_train_batches=3,
+            max_epochs=2,
+            CHECKPOINT_TRAINING=False,
+            MONITOR_TRAINING=False,
+            OUTPUT_TRAINING="",
+            trainer_kwargs=dict(
+                {"remat": remat} if remat else {}, data_seed=7
+            ),
+        )
+        mmk.TrainARMLoop.from_config(config, dataset=db, network=net).run()
+        return jax.device_get(net.params)
+
+    plain = run(False)
+    for remat in (True, "dots_saveable"):
+        rematted = run(remat)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(plain),
+            jax.tree_util.tree_leaves(rematted),
+        ):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
 def test_flat_optimizer_guards_and_round_trips():
     """The review-hardened edges: no double wrap, single-leaf trees still
     convert shape-correctly, and flat-saved states expand back for
