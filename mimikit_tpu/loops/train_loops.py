@@ -496,6 +496,7 @@ class TrainARMLoop:
         # reference's per-batch .item() equivalent); instead metrics
         # accumulate on device and the NaN guard fires periodically
         nan_check_every = int(cfg.trainer_kwargs.get("nan_check_every", 25))
+        prefetched_uploads = None
         try:
             for epoch in range(self.start_epoch + 1, cfg.max_epochs + 1):
                 self.metrics.on_epoch_start()
@@ -513,7 +514,13 @@ class TrainARMLoop:
                         leave=False,
                         mininterval=1.0,
                     )
-                    for idxs in self._epoch_index_uploads(cfg):
+                    idx_uploads = (
+                        prefetched_uploads
+                        if prefetched_uploads is not None
+                        else list(self._epoch_index_uploads(cfg))
+                    )
+                    prefetched_uploads = None
+                    for idxs in idx_uploads:
                         # (K, B) device array; all same-shape groups of the
                         # epoch went up in ONE stacked transfer (a transfer
                         # costs a full round trip through a remote-device
@@ -551,8 +558,18 @@ class TrainARMLoop:
                                 self.metrics.check_loss(float(pending_loss))
                             pending_loss = last_loss
                             next_check = n_batches + nan_check_every
-                    if pending_loss is not None:
-                        self.metrics.check_loss(float(pending_loss))
+                    # the trailing probe is covered by the epoch-mean read
+                    # below (one NaN batch poisons the on-device sum), so no
+                    # extra queue-draining value read here; instead use the
+                    # still-busy device to overlap the NEXT epoch's index
+                    # upload with this epoch's remaining steps (a
+                    # host->device transfer costs a tunnel round trip that
+                    # would otherwise serialize at the next epoch's start)
+                    del pending_loss
+                    if epoch < cfg.max_epochs:
+                        prefetched_uploads = list(
+                            self._epoch_index_uploads(cfg)
+                        )
                     bar.close()
                 else:
                     bar = tqdm(
