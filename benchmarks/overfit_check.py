@@ -583,7 +583,15 @@ def main():
         OUTPUT_TRAINING="",
         CHECKPOINT_TRAINING=False,
         trainer_kwargs={
-            "device_batching": which not in ("freqnet", "seq2seq", "tiedae")
+            "device_batching": which not in ("freqnet", "seq2seq", "tiedae"),
+            # BENCH_DTYPE=bfloat16 runs the whole training in true mixed
+            # precision (f32 masters, bf16 compute — mimikit_tpu/precision
+            # .py): the loss-curve sanity check VERDICT r3 item 1 asks for
+            **(
+                {"param_dtype": os.environ["BENCH_DTYPE"]}
+                if os.environ.get("BENCH_DTYPE")
+                else {}
+            ),
         },
     )
     loop = mmk.TrainARMLoop.from_config(train, db, net)

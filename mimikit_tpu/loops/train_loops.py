@@ -139,9 +139,14 @@ class TrainARMLoop:
     def _apply_data_seed(loader, cfg: TrainARMConfig):
         """trainer_kwargs={"data_seed": N} pins the batch-sampling RNG for
         reproducible trajectories (samplers otherwise seed from OS entropy,
-        matching the reference's unseeded DataLoader shuffle)."""
+        matching the reference's unseeded DataLoader shuffle).
+
+        Per-RUN semantics: a resumed run restarts the seeded stream from
+        epoch 1's permutation — it reproduces a fresh run with the same
+        seed, not the uninterrupted run's tail."""
         seed = cfg.trainer_kwargs.get("data_seed")
         if seed is not None:
+            seeded = False
             for obj in (
                 loader,
                 getattr(loader, "batch_sampler", None),
@@ -149,6 +154,18 @@ class TrainARMLoop:
             ):
                 if obj is not None and hasattr(obj, "_rng"):
                     obj._rng = np.random.RandomState(int(seed))
+                    seeded = True
+            if not seeded:
+                # silently unseeded batch order would look reproducible
+                # while being OS-entropy-driven (advisor r3)
+                import warnings
+
+                warnings.warn(
+                    "data_seed was set but the loader exposes no seedable"
+                    " sampler RNG (user-supplied batch_sampler?) — batch"
+                    " order will NOT be reproducible",
+                    stacklevel=3,
+                )
         return loader
 
     @classmethod
@@ -302,12 +319,26 @@ class TrainARMLoop:
 
     # -- the jitted step ----------------------------------------------------
     def _build_step(self):
+        from .. import precision as _prec
+
         module = self.net.module
         loss_fn = self.loss_fn
         tx = self.opt
         # trainer_kwargs={"matmul_precision": "bfloat16"} trades precision for
-        # MXU throughput on the whole step (weights stay f32)
+        # MXU throughput on the whole step (weights stay f32).  NOTE: on TPU
+        # the f32 default is ALREADY the single-pass bf16 multiply, so this
+        # knob only matters for "float32"/"highest" (3-pass) — for real
+        # mixed-precision gains use param_dtype below.
         precision = self.train_cfg.trainer_kwargs.get("matmul_precision")
+        # trainer_kwargs={"param_dtype": "bfloat16"}: true mixed precision —
+        # f32 master params + optimizer state, bf16 compute (params,
+        # activations and backward all bf16: half the HBM traffic, double
+        # the MXU rate).  The cast happens inside the traced step; grads
+        # re-cast to f32 at the convert_element_type boundary; the loss is
+        # computed in f32 (mimikit_tpu/precision.py).
+        half = _prec.resolve_dtype(
+            self.train_cfg.trainer_kwargs.get("param_dtype")
+        )
         # trainer_kwargs={"remat": True} rematerializes the forward in the
         # backward pass (jax.checkpoint) instead of keeping every activation
         # live in HBM — the standard TPU trade of MXU FLOPs for memory, for
@@ -330,12 +361,41 @@ class TrainARMLoop:
             )
 
         if remat:
-            policy = (
-                getattr(jax.checkpoint_policies, remat)
-                if isinstance(remat, str)
-                else None
+            if isinstance(remat, str):
+                policy = getattr(jax.checkpoint_policies, remat)
+            elif callable(remat) and not isinstance(remat, bool):
+                # an actual jax.checkpoint_policies member (advisor r3):
+                # silently dropping it would remat everything instead
+                policy = remat
+            elif remat is True:
+                policy = None
+            else:
+                raise TypeError(
+                    "trainer_kwargs['remat'] must be True, a"
+                    " jax.checkpoint_policies member name, or a policy"
+                    f" callable — got {remat!r}"
+                )
+            # prevent_cse only matters outside jit; apply_train always runs
+            # under jax.jit (+ lax.scan), where it just blocks XLA CSE
+            apply_train = jax.checkpoint(
+                apply_train, policy=policy, prevent_cse=False
             )
-            apply_train = jax.checkpoint(apply_train, policy=policy)
+
+        if half is not None:
+            inner_apply = apply_train
+
+            def apply_train(p, inputs, hidden, rng):
+                p = _prec.cast_floats(p, half)
+                inputs = _prec.cast_floats(inputs, half)
+                hidden = _prec.cast_floats(hidden, half)
+                with _prec.compute(half):
+                    outputs, new_hidden = inner_apply(p, inputs, hidden, rng)
+                # loss runs f32; the hidden carry contract stays f32 (the
+                # loop's eval_shape templates and checkpoints are f32)
+                return (
+                    _prec.cast_floats(outputs, jnp.float32),
+                    _prec.cast_floats(new_hidden, jnp.float32),
+                )
 
         def step(params, opt_state, hidden, inputs, targets, rng):
             if precision is not None:

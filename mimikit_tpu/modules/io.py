@@ -50,13 +50,20 @@ __all__ = [
 
 
 class Linearizer(nn.Module):
-    """class index -> [-1, 1] float (reference ``io.py:106-112``)."""
+    """class index -> [-1, 1] float (reference ``io.py:106-112``).
+
+    Int inputs have no float dtype to follow, so the output dtype comes
+    from the mixed-precision policy (``precision.compute_dtype`` — f32 by
+    default): emitting f32 under a bf16 policy would re-promote every
+    downstream matmul to f32."""
 
     class_size: int
 
     @nn.compact
     def __call__(self, x):
-        return ((x.astype(jnp.float32) / self.class_size) - 0.5) * 2
+        from ..precision import compute_dtype
+
+        return ((x.astype(compute_dtype()) / self.class_size) - 0.5) * 2
 
 
 class Pipeline(nn.Module):
@@ -90,7 +97,7 @@ class Pipeline(nn.Module):
             if train:
                 mask = jnp.asarray(
                     nn.Dropout(self.dropout1d, deterministic=False)(
-                        jnp.ones((x.shape[0], 1, x.shape[-1]))
+                        jnp.ones((x.shape[0], 1, x.shape[-1]), x.dtype)
                     )
                 )
                 x = x * mask
@@ -470,5 +477,8 @@ class ZipReduceVariables(nn.Module):
         y = None
         for i, (head, x) in enumerate(zip(self.heads, inputs)):
             out = head(x, train=train) if isinstance(head, Pipeline) else head(x)
-            y = out * w[i] if y is None else y + out * w[i]
+            # mix weights follow the head output's dtype (f32 weights would
+            # re-promote a bf16 activation path)
+            wi = w[i].astype(out.dtype)
+            y = out * wi if y is None else y + out * wi
         return y

@@ -170,7 +170,11 @@ class RNNStack(nn.Module):
                 b = jnp.concatenate([p[f"h{g}"]["bias"] for g in "ifgo"])
                 c0, h0 = carry[i]  # flax LSTM carry order: (c, h)
                 ys, h_T, c_T = fused_lstm_layer(ys, Wi, Wh, b, h0, c0)
-                new_carry.append((c_T, h_T))
+                # the kernel computes (and returns) f32; under a bf16
+                # mixed-precision policy the rest of the net must stay in
+                # the input dtype or every downstream op re-promotes
+                ys = ys.astype(x.dtype)
+                new_carry.append((c_T.astype(x.dtype), h_T.astype(x.dtype)))
             final = tuple(new_carry)
             y = jnp.swapaxes(ys, 0, 1)
         else:

@@ -54,7 +54,9 @@ class PositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pe = jnp.asarray(sinusoidal_pe(self.max_len, self.d_model))
+        # table follows the activation dtype (an f32 table would re-promote
+        # a bf16 mixed-precision path at the very first add)
+        pe = jnp.asarray(sinusoidal_pe(self.max_len, self.d_model), x.dtype)
         x = x + pe[None, : x.shape[1], :]
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -185,7 +187,8 @@ class SimpleTransformerCore(nn.Module):
             # track their own write index)
             t = jnp.asarray(0 if hidden is None else hidden, jnp.int32)
             table = jnp.asarray(
-                sinusoidal_pe(self.pe.max_len, self.cfg["model_dim"])
+                sinusoidal_pe(self.pe.max_len, self.cfg["model_dim"]),
+                src.dtype,
             )
             src = src + jax.lax.dynamic_slice_in_dim(
                 table, t, 1, axis=0

@@ -25,6 +25,15 @@ carries (h, c) in VMEM scratch across grid steps and stores h, c and the
 post-activation gates for the backward pass (recomputation would add a
 matmul per backward step; streaming them from HBM rides bandwidth the
 step doesn't otherwise use).
+
+Mixed precision: the layer is dtype-polymorphic on its inputs.  With
+bfloat16 inputs (the ``param_dtype="bfloat16"`` train policy,
+``mimikit_tpu/precision.py``) every HBM stream — xi in; h/c/gates out;
+the backward's cotangent/replay streams — is bf16 (HALF the traffic the
+f32 roofline in ``benchmarks/bench_train.py`` says binds this step),
+while the carry scratch and all in-kernel arithmetic stay f32 (a bf16
+carry would compound rounding over hundreds of steps).  Weight-grad
+accumulators are f32 in scratch, cast once on the way out.
 """
 from __future__ import annotations
 
@@ -64,10 +73,12 @@ def _pick_tc(T: int, B: int, H: int) -> int:
 
 
 @functools.lru_cache(maxsize=64)
-def _make_fused_calls(T: int, B: int, H: int, interpret: bool):
+def _make_fused_calls(T: int, B: int, H: int, interpret: bool, dtype_name: str):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    dt = jnp.dtype(dtype_name)
+    f32 = jnp.float32
     Tc = _pick_tc(T, B, H)
     nblk = T // Tc
     H4 = 4 * H
@@ -77,12 +88,13 @@ def _make_fused_calls(T: int, B: int, H: int, interpret: bool):
                    h_ref, c_ref, g_ref, h_scr, c_scr):
         @pl.when(pl.program_id(0) == 0)
         def _():
-            h_scr[:] = h0_ref[:]
-            c_scr[:] = c0_ref[:]
+            h_scr[:] = h0_ref[:].astype(f32)
+            c_scr[:] = c0_ref[:].astype(f32)
 
+        Wh = Wh_ref[:]
         for t in range(Tc):
-            g = xi_ref[t] + jnp.dot(
-                h_scr[:], Wh_ref[:], preferred_element_type=jnp.float32
+            g = xi_ref[t].astype(f32) + jnp.dot(
+                h_scr[:].astype(dt), Wh, preferred_element_type=f32
             )
             i = jax.nn.sigmoid(g[:, :H])
             f = jax.nn.sigmoid(g[:, H : 2 * H])
@@ -92,9 +104,9 @@ def _make_fused_calls(T: int, B: int, H: int, interpret: bool):
             h2 = o * jnp.tanh(c2)
             c_scr[:] = c2
             h_scr[:] = h2
-            h_ref[t] = h2
-            c_ref[t] = c2
-            g_ref[t] = jnp.concatenate([i, f, gg, o], axis=1)
+            h_ref[t] = h2.astype(dt)
+            c_ref[t] = c2.astype(dt)
+            g_ref[t] = jnp.concatenate([i, f, gg, o], axis=1).astype(dt)
 
     fwd_call = pl.pallas_call(
         fwd_kernel,
@@ -111,13 +123,13 @@ def _make_fused_calls(T: int, B: int, H: int, interpret: bool):
             pl.BlockSpec((Tc, B, H4), lambda i: (i, 0, 0)),  # gates
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), dt),
+            jax.ShapeDtypeStruct((T, B, H), dt),
+            jax.ShapeDtypeStruct((T, B, H4), dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), f32),
+            pltpu.VMEM((B, H), f32),
         ],
         interpret=interpret,
     )
@@ -134,23 +146,24 @@ def _make_fused_calls(T: int, B: int, H: int, interpret: bool):
                    dh_scr, dc_scr, dWh_scr):
         @pl.when(pl.program_id(0) == 0)
         def _():
-            dh_scr[:] = dhT_ref[:]
-            dc_scr[:] = dcT_ref[:]
-            dWh_scr[:] = jnp.zeros((H, H4), jnp.float32)
+            dh_scr[:] = dhT_ref[:].astype(f32)
+            dc_scr[:] = dcT_ref[:].astype(f32)
+            dWh_scr[:] = jnp.zeros((H, H4), f32)
 
+        Wh = Wh_ref[:]
         for t in range(Tc - 1, -1, -1):
-            dh = dh_all_ref[t] + dh_scr[:]
-            gate = g_ref[t]
+            dh = dh_all_ref[t].astype(f32) + dh_scr[:]
+            gate = g_ref[t].astype(f32)
             i = gate[:, :H]
             f = gate[:, H : 2 * H]
             gg = gate[:, 2 * H : 3 * H]
             o = gate[:, 3 * H :]
-            tc = jnp.tanh(c_ref[t])
+            tc = jnp.tanh(c_ref[t].astype(f32))
             do = dh * tc
             dc = dc_scr[:] + dh * o * (1.0 - tc * tc)
             di = dc * gg
             dgg = dc * i
-            df = dc * cprev_ref[t]
+            df = dc * cprev_ref[t].astype(f32)
             dg = jnp.concatenate(
                 [
                     di * i * (1.0 - i),
@@ -160,26 +173,26 @@ def _make_fused_calls(T: int, B: int, H: int, interpret: bool):
                 ],
                 axis=1,
             )  # (B, 4H) pre-activation grads
-            dxi_ref[t] = dg
+            dxi_ref[t] = dg.astype(dt)
             # dh_{t-1} = dg @ Wh^T — contract the 4H dim directly
             dh_scr[:] = jax.lax.dot_general(
-                dg, Wh_ref[:],
+                dg.astype(dt), Wh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=f32,
             )
             dc_scr[:] = dc * f
             # dWh += h_{t-1}^T @ dg — contract the batch dim directly
             dWh_scr[:] += jax.lax.dot_general(
-                hprev_ref[t], dg,
+                hprev_ref[t], dg.astype(dt),
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=f32,
             )
 
         @pl.when(pl.program_id(0) == nblk - 1)
         def _():
-            dWh_ref[:] = dWh_scr[:]
-            dh0_ref[:] = dh_scr[:]
-            dc0_ref[:] = dc_scr[:]
+            dWh_ref[:] = dWh_scr[:].astype(dt)
+            dh0_ref[:] = dh_scr[:].astype(dt)
+            dc0_ref[:] = dc_scr[:].astype(dt)
 
     bwd_call = pl.pallas_call(
         bwd_kernel,
@@ -201,15 +214,15 @@ def _make_fused_calls(T: int, B: int, H: int, interpret: bool):
             pl.BlockSpec((B, H), lambda j: (0, 0)),  # dc0
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
-            jax.ShapeDtypeStruct((H, H4), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H4), dt),
+            jax.ShapeDtypeStruct((H, H4), dt),
+            jax.ShapeDtypeStruct((B, H), dt),
+            jax.ShapeDtypeStruct((B, H), dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((H, H4), jnp.float32),
+            pltpu.VMEM((B, H), f32),
+            pltpu.VMEM((B, H), f32),
+            pltpu.VMEM((H, H4), f32),
         ],
         interpret=interpret,
     )
@@ -218,8 +231,10 @@ def _make_fused_calls(T: int, B: int, H: int, interpret: bool):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_layer(T: int, B: int, D: int, H: int, interpret: bool):
-    fwd_call, bwd_call = _make_fused_calls(T, B, H, interpret)
+def _make_layer(T: int, B: int, D: int, H: int, interpret: bool,
+                dtype_name: str):
+    fwd_call, bwd_call = _make_fused_calls(T, B, H, interpret, dtype_name)
+    dt = jnp.dtype(dtype_name)
 
     @jax.custom_vjp
     def layer(x, Wi, Wh, b, h0, c0):
@@ -232,7 +247,7 @@ def _make_layer(T: int, B: int, D: int, H: int, interpret: bool):
                 "tbd,dk->tbk", x, Wi, preferred_element_type=jnp.float32
             )
             + b
-        )
+        ).astype(dt)
         h_all, c_all, gates = fwd_call(xi, h0, c0, Wh)
         return (
             (h_all, h_all[T - 1], c_all[T - 1]),
@@ -242,33 +257,33 @@ def _make_layer(T: int, B: int, D: int, H: int, interpret: bool):
     def _bwd(res, cts):
         x, Wi, Wh, h0, c0, h_all, c_all, gates = res
         dh_all, dh_T, dc_T = cts
-        dh_all = _materialize(dh_all, (T, B, H))
-        dh_T = _materialize(dh_T, (B, H))
-        dc_T = _materialize(dc_T, (B, H))
+        dh_all = _materialize(dh_all, (T, B, H), dt)
+        dh_T = _materialize(dh_T, (B, H), dt)
+        dc_T = _materialize(dc_T, (B, H), dt)
         hprev = jnp.concatenate([h0[None], h_all[:-1]], axis=0)
         cprev = jnp.concatenate([c0[None], c_all[:-1]], axis=0)
         dxi, dWh, dh0, dc0 = bwd_call(
             dh_all, dh_T, dc_T, gates, c_all, cprev, hprev, Wh
         )
-        db = dxi.sum(axis=(0, 1))
+        db = dxi.astype(jnp.float32).sum(axis=(0, 1)).astype(dt)
         # default matmul precision: matches flax's Dense (and is ~2x the
         # throughput of HIGHEST on the MXU — measured 169 vs ~70 us for
         # tier-1's dWi in the train-step trace)
         dWi = jnp.einsum(
             "tbd,tbk->dk", x, dxi, preferred_element_type=jnp.float32
-        )
+        ).astype(dt)
         dx = jnp.einsum(
             "tbk,dk->tbd", dxi, Wi, preferred_element_type=jnp.float32
-        )
+        ).astype(dt)
         return dx, dWi, dWh, db, dh0, dc0
 
-    def _materialize(ct, shape):
+    def _materialize(ct, shape, dtype):
         # symbolic zero cotangents arrive for unused primal outputs
         if ct is None or isinstance(
             ct, jax.custom_derivatives.SymbolicZero
         ):
-            return jnp.zeros(shape, jnp.float32)
-        return ct
+            return jnp.zeros(shape, dtype)
+        return ct.astype(dtype)
 
     layer.defvjp(_fwd, _bwd)
     return layer
@@ -277,21 +292,26 @@ def _make_layer(T: int, B: int, D: int, H: int, interpret: bool):
 def fused_lstm_layer(x, Wi, Wh, b, h0, c0, interpret=None):
     """One LSTM layer over time, fused.
 
-    x: (T, B, D) f32 time-major inputs; Wi (D, 4H), Wh (H, 4H), b (4H,)
+    x: (T, B, D) time-major inputs; Wi (D, 4H), Wh (H, 4H), b (4H,)
     in flax gate order i|f|g|o; (h0, c0): (B, H) initial carry.
     Returns ``(h_all (T, B, H), h_T, c_T)``.  Differentiable in every
     argument (hand-written Pallas backward).
+
+    Dtype follows ``x``: float32 runs the f32 kernels; bfloat16 runs the
+    bf16-stream variants (f32 compute + carry in VMEM) — see module
+    docstring.  All arguments are cast to the layer dtype.
     """
     T, B, D = x.shape
     H = Wh.shape[0]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    layer = _make_layer(T, B, D, H, bool(interpret))
+    dt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    layer = _make_layer(T, B, D, H, bool(interpret), jnp.dtype(dt).name)
     return layer(
-        x.astype(jnp.float32),
-        Wi.astype(jnp.float32),
-        Wh.astype(jnp.float32),
-        b.astype(jnp.float32),
-        h0.astype(jnp.float32),
-        c0.astype(jnp.float32),
+        x.astype(dt),
+        Wi.astype(dt),
+        Wh.astype(dt),
+        b.astype(dt),
+        h0.astype(dt),
+        c0.astype(dt),
     )

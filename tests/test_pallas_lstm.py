@@ -160,6 +160,67 @@ def test_rnnstack_fused_carry_continues_like_scan(monkeypatch):
     )
 
 
+def test_fused_lstm_bf16_streams():
+    """bf16 inputs route to the bf16-stream kernel variant: outputs come
+    back bf16 and match the f32 kernel to bf16 resolution (compute and
+    carry stay f32 in VMEM — only the HBM streams round)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mimikit_tpu.ops.pallas_lstm import fused_lstm_layer
+
+    params, x, h0, c0, Wi, Wh, b = _setup(T=16, B=4, D=8, H=16)
+    ys32, hT32, cT32 = fused_lstm_layer(x, Wi, Wh, b, h0, c0, interpret=True)
+    x16 = x.astype(jnp.bfloat16)
+    ys16, hT16, cT16 = fused_lstm_layer(
+        x16, Wi.astype(jnp.bfloat16), Wh.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16), h0.astype(jnp.bfloat16),
+        c0.astype(jnp.bfloat16), interpret=True,
+    )
+    assert ys16.dtype == jnp.bfloat16
+    assert hT16.dtype == jnp.bfloat16 and cT16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(ys32), np.asarray(ys16, np.float32), rtol=0.05, atol=0.03
+    )
+    np.testing.assert_allclose(
+        np.asarray(cT32), np.asarray(cT16, np.float32), rtol=0.05, atol=0.05
+    )
+
+
+def test_fused_lstm_bf16_grads_match_f32():
+    """bf16 backward: gradients stay within bf16 rounding of the f32
+    kernel's (the dWh/db accumulators are f32 in scratch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mimikit_tpu.ops.pallas_lstm import fused_lstm_layer
+
+    params, x, h0, c0, Wi, Wh, b = _setup(T=12, B=4, D=8, H=16)
+
+    def loss(wi, wh, bb, xx, hh, cc, dtype):
+        ys, hT, cT = fused_lstm_layer(
+            xx.astype(dtype), wi.astype(dtype), wh.astype(dtype),
+            bb.astype(dtype), hh.astype(dtype), cc.astype(dtype),
+            interpret=True,
+        )
+        ys = ys.astype(jnp.float32)
+        return jnp.sum(ys**2) + jnp.sum(
+            hT.astype(jnp.float32) * cT.astype(jnp.float32)
+        )
+
+    g32 = jax.grad(loss, argnums=(0, 1, 2))(
+        Wi, Wh, b, x, h0, c0, jnp.float32
+    )
+    g16 = jax.grad(loss, argnums=(0, 1, 2))(
+        Wi, Wh, b, x, h0, c0, jnp.bfloat16
+    )
+    for a, f in zip(g32, g16):
+        assert f.dtype == jnp.float32  # cotangents re-cast at the boundary
+        denom = np.maximum(np.abs(np.asarray(a)), 1e-2)
+        rel = np.abs(np.asarray(a) - np.asarray(f, np.float32)) / denom
+        assert np.median(rel) < 0.05, f"median rel err {np.median(rel)}"
+
+
 def test_fused_lstm_gate_rejects_non_lstm(monkeypatch):
     monkeypatch.setenv("MMK_FUSED_LSTM", "1")
     from mimikit_tpu.modules.rnn import RNNStack
