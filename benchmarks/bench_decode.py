@@ -182,7 +182,9 @@ def main():
             np.abs(np.random.randn(B, 16, n_fft // 2 + 1)).astype(np.float32),
         )
         s2s._ensure_params(prompts)
-        steps = n_frames if fast else 64  # stepwise pays a RTT per block
+        # stepwise now rides the device-resident scan (one dispatch; the
+        # final np.asarray is a value read, so arrival == completion)
+        steps = n_frames if fast else 256
         if fast:
             from _timing import fence, read_rtt
 

@@ -176,8 +176,10 @@ class GenerateLoopV2:
                     for b in self.network.generate(batch, self.n_steps, **params)
                 )
             else:
-                if getattr(self.network, "generate", None) is not None and (
-                    not getattr(self, "_warned_stepwise", False)
+                if (
+                    getattr(self.network, "generate", None) is not None
+                    and not getattr(self, "_warned_stepwise", False)
+                    and self._device_step_fn(params) is None
                 ):
                     # the stepwise loop is reference-semantics but orders of
                     # magnitude slower (seq2seq: 3.3 frames/s vs 61k fast,
@@ -229,11 +231,34 @@ class GenerateLoopV2:
             return True
         return set(params) <= set(sig.parameters)
 
+    def _device_step_fn(self, params: dict):
+        """The network's pure jit-safe step (``stepwise_step_fn``), or None."""
+        get = getattr(self.network, "stepwise_step_fn", None)
+        if get is None:
+            return None
+        try:
+            return get(params)
+        except Exception:
+            return None
+
     def _stepwise(self, batch, prompt_idx, params):
         """Reference-semantics per-step loop (supports ``until`` multi-step
-        outputs and arbitrary ARM implementations)."""
+        outputs and arbitrary ARM implementations).
+
+        When the network exposes a pure ``stepwise_step_fn`` the loop runs
+        entirely on device as ONE jitted ``lax.scan`` over the (statically
+        precomputed) visited-step schedule — token-identical to the host
+        loop for deterministic steps, pinned in ``tests/test_gen_loop.py``.
+        The host loop pays a tunnel round trip per python op otherwise
+        (~3 frames/s vs hundreds, BENCH_decode.json: seq2seq_stepwise_b1).
+        """
         net = self.network
         net.before_generate(batch, prompt_idx)
+        step_fn = self._device_step_fn(params)
+        if step_fn is not None:
+            out = self._stepwise_device(batch, prompt_idx, step_fn)
+            if out is not None:
+                return out
         rf, prior_t, n_steps = net.rf, np.shape(batch[0])[1], self.n_steps
         tensors = [np.asarray(_fill(x, prior_t, n_steps)) for x in batch]
         until = 0
@@ -253,6 +278,129 @@ class GenerateLoopV2:
                     tensor[:, t : t + n_out] = out[:, :n_out]
                     until = t + n_out
         final_outputs = tuple(tensors)
+        net.after_generate(final_outputs, prompt_idx)
+        return final_outputs
+
+    def _stepwise_device(self, batch, prompt_idx, step_fn):
+        """Device-resident twin of the host loop above.
+
+        The visited-``t`` schedule is fully static (each output's write
+        width is shape-determined), so it is precomputed on host and the
+        whole decode runs as one ``lax.scan`` dispatch: slice the ``rf``
+        window, apply ``step_fn``, ``dynamic_update_slice`` the outputs.
+        Buffers carry ``max_width - 1`` padding frames so the final
+        (possibly truncated) write stays shape-static; the pad is sliced
+        off before returning.  Returns None (→ host loop) whenever the
+        step's shapes can't be made static (short prompt, trace failure).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        net = self.network
+        rf, prior_t, n_steps = net.rf, np.shape(batch[0])[1], self.n_steps
+        if not rf or rf <= 0 or prior_t < rf or n_steps <= 0:
+            return None
+        arrs = [np.asarray(_fill(x, prior_t, n_steps)) for x in batch]
+        B = arrs[0].shape[0]
+        net_params = getattr(net, "params", None)
+        key0 = jax.random.PRNGKey(0)
+        win_specs = tuple(
+            jax.ShapeDtypeStruct((B, rf) + a.shape[2:], a.dtype) for a in arrs
+        )
+        try:
+            probe = jax.eval_shape(step_fn, net_params, win_specs, key0)
+        except Exception:
+            return None
+        if not isinstance(probe, tuple):
+            probe = (probe,)
+        if len(probe) > len(arrs):
+            return None
+        # per-output write width (None = tensor not written); mirrors the
+        # host loop's `out[:, None]` ndim fix + `until = t + n_out`
+        widths = []
+        for a, o in zip(arrs, probe):
+            if o is None:
+                widths.append(None)
+                continue
+            shp = tuple(o.shape)
+            if len(shp) < a.ndim:
+                shp = (shp[0], 1) + shp[1:]
+            if len(shp) != a.ndim or shp[0] != B or shp[2:] != a.shape[2:]:
+                return None
+            widths.append(int(shp[1]))
+        written = [w for w in widths if w is not None]
+        if not written:
+            return None
+        # static visited-step schedule (identical to the host loop's
+        # `if t < until: continue` given shape-static write widths)
+        visited, until = [], 0
+        for t in range(prior_t, prior_t + n_steps):
+            if t < until:
+                continue
+            visited.append(t)
+            for w in widths:
+                if w is not None:
+                    until = t + w
+        pad = max(written) - 1
+        L = prior_t + n_steps
+
+        cache = getattr(self, "_device_scan_cache", None)
+        if cache is None:
+            cache = self._device_scan_cache = {}
+        key = (
+            id(step_fn), rf, tuple(visited[:1]), len(visited), L,
+            tuple((a.shape, str(a.dtype)) for a in arrs),
+        )
+        run = cache.get(key)
+        if run is None:
+
+            @jax.jit
+            def run(params, bufs, ts, keys):
+                def scan_step(carry, tk):
+                    t, k = tk
+                    wins = tuple(
+                        jax.lax.dynamic_slice_in_dim(b, t - rf, rf, axis=1)
+                        for b in carry
+                    )
+                    outs = step_fn(params, wins, k)
+                    if not isinstance(outs, tuple):
+                        outs = (outs,)
+                    outs = outs + (None,) * (len(carry) - len(outs))
+                    new = []
+                    for b, o in zip(carry, outs):
+                        if o is None:
+                            new.append(b)
+                            continue
+                        if o.ndim < b.ndim:
+                            o = o[:, None]
+                        o = o.astype(b.dtype)
+                        new.append(
+                            jax.lax.dynamic_update_slice_in_dim(
+                                b, o, t, axis=1
+                            )
+                        )
+                    return tuple(new), None
+
+                final, _ = jax.lax.scan(scan_step, bufs, (ts, keys))
+                return tuple(b[:, :L] for b in final)
+
+            cache[key] = run
+
+        bufs = tuple(
+            jnp.asarray(
+                np.concatenate(
+                    [a, np.zeros((B, pad) + a.shape[2:], a.dtype)], axis=1
+                )
+            ) if pad else jnp.asarray(a)
+            for a in arrs
+        )
+        base = (
+            net.next_rng() if hasattr(net, "next_rng") else jax.random.PRNGKey(0)
+        )
+        keys = jax.random.split(base, len(visited))
+        ts = jnp.asarray(visited, jnp.int32)
+        final = run(net_params, bufs, ts, keys)
+        final_outputs = tuple(np.asarray(b) for b in final)
         net.after_generate(final_outputs, prompt_idx)
         return final_outputs
 

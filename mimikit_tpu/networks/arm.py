@@ -98,6 +98,25 @@ class _NetworkBase(Configurable, abc.ABC):
     def generate_params(self) -> Set[str]:
         ...
 
+    def stepwise_step_fn(self, parameters: dict):
+        """Optional device fast path for ``GenerateLoopV2``'s stepwise
+        fallback (the reference-semantics per-step loop,
+        ``/root/reference/mimikit/loops/generate.py:207-219``).
+
+        Return a PURE jit-safe function ``(params, window_inputs, rng) ->
+        outputs_tuple`` equivalent to ``generate_step(inputs, t=t,
+        **parameters)`` — only valid when the step is t-independent and
+        shape-static (elements of the returned tuple may be ``None`` for
+        tensors the step does not write).  The loop then fuses
+        window-slice + step + buffer-write into one jitted dispatch per
+        step and keeps every tensor device-resident: the host loop pays a
+        full tunnel round trip per op, ~10,000x slower on remote TPU.
+
+        Default ``None``: keep the host loop (stateful / t-dependent
+        ``generate_step`` implementations, e.g. SampleRNN's tier caches).
+        """
+        return None
+
 
 class ARM(_NetworkBase, abc.ABC):
     """Interface for Auto Regressive Networks."""

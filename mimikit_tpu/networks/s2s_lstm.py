@@ -351,6 +351,34 @@ class Seq2SeqLSTMNetwork(ARMWithHidden):
     def after_generate(self, final_outputs: Tuple, batch_index: int) -> None:
         pass
 
+    def stepwise_step_fn(self, parameters: dict):
+        """Pure per-step apply for ``GenerateLoopV2``'s device-resident
+        stepwise loop (see ``arm.py``): eval-mode forward on the ``hop``
+        window, t-independent and shape-static.  Cached per temperature so
+        the loop's jitted scan cache hits across calls."""
+        if set(parameters) - {"temperature"}:
+            return None
+        temp = parameters.get("temperature", None)
+        try:
+            key = ("stepwise", temp)
+            hash(key)
+        except TypeError:
+            key = None
+        fn = self._decoders.get(key) if key is not None else None
+        if fn is None:
+            module = self.module
+
+            def fn(params, wins, rng):
+                outs, _ = module.apply(
+                    {"params": params}, wins, None, False, temp,
+                    rngs={"dropout": rng, "sample": rng},
+                )
+                return outs
+
+            if key is not None:
+                self._decoders[key] = fn
+        return fn
+
     def generate(self, prompts: Tuple, n_steps: int, temperature=None,
                  rng=None):
         """Block-autoregressive decode as one jitted ``lax.scan``.

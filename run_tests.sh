@@ -14,7 +14,7 @@ tests/test_extract.py tests/test_views.py tests/test_parallel.py tests/test_fram
 SHARD2="tests/test_sample_rnn.py tests/test_gen_loop.py tests/test_train_loop.py \
 tests/test_demos.py tests/test_ensemble.py tests/test_torch_parity.py tests/test_migrate.py"
 SHARD3="tests/test_wavenet.py tests/test_transformers.py tests/test_tied_autoencoder.py tests/test_pallas_decode.py tests/test_pallas_lstm.py tests/test_streaming.py"
-SHARD4="tests/test_seq2seq.py tests/test_legacy_nets.py"
+SHARD4="tests/test_seq2seq.py tests/test_legacy_nets.py tests/test_precision.py"
 
 # fail loudly if a test file is in no shard (new files must be added above)
 for f in tests/test_*.py; do
