@@ -23,6 +23,17 @@ The handful of modules that create float tensors from *non-float* inputs
 follow an input dtype — they consult :func:`compute_dtype`, a trace-time
 context the step sets around ``module.apply``.  Everything else follows
 jnp dtype promotion from the cast params/inputs.
+
+Stability: on real tasks the policy converges indistinguishably from f32
+(``benchmarks/overfit_check.py`` with ``BENCH_DTYPE=bfloat16`` hits the
+same 440 Hz / loss as f32 for samplernn and freqnet).  The one regime
+where bf16 trips before f32 is *infinite-margin memorization* — training
+a fixed random-label batch without weight decay or clipping drives the
+winning logits to 1e4+ (measured: the f32 control follows the SAME
+trajectory, omax 5e4 by step 200, and merely survives longer because its
+rounding noise is smaller).  That regime is a degenerate objective, not a
+precision bug; if a user hits it, ``optax.clip_by_global_norm`` or weight
+decay bounds the margin in either dtype.
 """
 from __future__ import annotations
 
