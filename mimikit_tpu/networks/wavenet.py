@@ -623,32 +623,99 @@ class WaveNet(ARM):
     def _use_pallas_decode(
         self, B: int, prior_t: int, n_steps: int, argmax: bool = True
     ) -> bool:
-        flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
-        if flag == "0" or getattr(self, "_pallas_disabled", False):
-            return False
-        from ..ops.pallas_decode import supports_pallas_wavenet
+        return self._pallas_mode(B, prior_t, n_steps, argmax) is not None
 
-        if not supports_pallas_wavenet(self) or prior_t < self.rf + 1:
-            return False
-        if jax.default_backend() == "cpu" and (flag != "1" or not argmax):
-            return False
-        dilations, _ = self._layer_meta()
-        D = self.config.dims_dilated[0]
-        w_bytes = 4 * sum(
+    # whole-loop kernel: rings are scratch in SCOPED VMEM (16 MiB on v5e,
+    # separate from the 128 MiB total — measured, see
+    # SampleRNN._SCOPED_VMEM_BYTES); caps the 10-layer bench net at B≈24
+    _SCOPED_VMEM_BYTES = 15 * 2**20
+    _TOTAL_VMEM_BYTES = 100 * 2**20
+    # chunked kernel: per-side VMEM budget for the small-dilation rings
+    # (the large ones live in HBM and stream one row per step)
+    _CHUNK_VMEM_RING_BUDGET = 4 * 2**20
+    _PALLAS_CHUNK = 1024
+    _PALLAS_CHUNK_MIN = 128
+    # below this the whole-loop kernel fits anyway and one dispatch wins
+    _PALLAS_CHUNKED_MIN_B = 32
+
+    def _weight_bytes(self) -> int:
+        return 4 * sum(
             int(np.prod(l.shape))
             for l in jax.tree_util.tree_leaves(self.params)
         )
-        # The dilation ring buffers are kernel scratch: Mosaic allocates
-        # scratch (and loop-carried outputs) in SCOPED VMEM — 16 MiB on
-        # v5e, separate from the 128 MiB total (measured: see
-        # SampleRNN._SCOPED_VMEM_BYTES).  The token out buffer is a plain
-        # kernel output and only counts against total VMEM.
+
+    def _chunked_ring_split(self, B: int):
+        """Greedy VMEM/HBM assignment of the dilation rings: smallest
+        dilations first into the VMEM budget (they are touched every 1-2
+        steps, so they must not pay DMA latency); the rest go to HBM,
+        which requires d >= 4 for the kernel's hazard-free DMA window.
+        Returns the per-layer ring_hbm tuple or None."""
+        dilations, _ = self._layer_meta()
+        D = self.config.dims_dilated[0]
+        order = np.argsort(np.asarray(dilations), kind="stable")
+        budget = self._CHUNK_VMEM_RING_BUDGET
+        hbm = [True] * len(dilations)
+        for li in order:
+            cost = 4 * B * D * dilations[li]
+            if cost <= budget:
+                budget -= cost
+                hbm[li] = False
+        if any(h and d < 4 for h, d in zip(hbm, dilations)):
+            return None
+        return tuple(hbm)
+
+    def _chunk_for(self, B: int, n_h: int, vring_bytes: int, n_it: int):
+        """Largest chunk whose scoped-VMEM tenants fit: the VMEM ring
+        out-copies, the (chunk, B) token buffer, the 2-slot DMA landing +
+        staging buffers, and the (8, B) token carry."""
+        D = self.config.dims_dilated[0]
+        bufs = 2 * n_h * 2 * B * D * 4
+        fit = (
+            self._SCOPED_VMEM_BYTES - vring_bytes - bufs - 32 * B
+        ) // (4 * B)
+        return max(min(n_it, self._PALLAS_CHUNK, int(fit)), 1)
+
+    def _pallas_mode(self, B, prior_t, n_steps, argmax: bool = True):
+        """'single' (whole loop, rings in VMEM scratch — narrow batches),
+        'chunked' (state-carrying kernel, large-dilation rings in HBM —
+        wide batches), or None (scan / batch-split)."""
+        flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
+        if flag == "0" or getattr(self, "_pallas_disabled", False):
+            return None
+        from ..ops.pallas_decode import supports_pallas_wavenet
+
+        if not supports_pallas_wavenet(self) or prior_t < self.rf + 1:
+            return None
+        if jax.default_backend() == "cpu" and (flag != "1" or not argmax):
+            return None
+        dilations, _ = self._layer_meta()
+        D = self.config.dims_dilated[0]
+        w_bytes = self._weight_bytes()
         ring_bytes = 4 * B * D * sum(dilations)
         io_bytes = 4 * B * (n_steps + prior_t)
-        return (
-            ring_bytes < 15 * 2**20
-            and w_bytes + ring_bytes + io_bytes < 100 * 2**20
+        single_ok = (
+            ring_bytes < self._SCOPED_VMEM_BYTES
+            and w_bytes + ring_bytes + io_bytes < self._TOTAL_VMEM_BYTES
         )
+        if B < self._PALLAS_CHUNKED_MIN_B and single_ok:
+            return "single"
+        hbm = self._chunked_ring_split(B)
+        if hbm is not None:
+            n_h = sum(hbm)
+            vring = 4 * B * D * sum(
+                d for d, h in zip(dilations, hbm) if not h
+            )
+            n_it = prior_t + n_steps - 1
+            C = self._chunk_for(B, n_h, vring, n_it)
+            chunked_ok = (
+                C >= min(self._PALLAS_CHUNK_MIN, n_it)
+                and C >= 2
+                and w_bytes + 4 * B * prior_t + 2 * vring + 8 * B * C
+                < self._TOTAL_VMEM_BYTES
+            )
+            if chunked_ok:
+                return "chunked"
+        return "single" if single_ok else None
 
     _PALLAS_SPLIT_MIN_B = 8
 
@@ -670,6 +737,7 @@ class WaveNet(ARM):
 
     def _pallas_generate(self, prompts, n_steps, temperature, rng):
         from ..ops.pallas_decode import (
+            make_wavenet_pallas_chunked,
             make_wavenet_pallas_decoder,
             wavenet_weight_pack,
         )
@@ -677,7 +745,8 @@ class WaveNet(ARM):
         prompt = prompts[0]
         B, prior_t = prompt.shape
         argmax = temperature is None
-        key = ("pallas", B, prior_t, n_steps, argmax)
+        mode = self._pallas_mode(B, prior_t, n_steps, argmax)
+        key = ("pallas", mode, B, prior_t, n_steps, argmax)
         if key not in self._decoders:
             dilations, has_res = self._layer_meta()
             n_head_dense = 0
@@ -686,26 +755,61 @@ class WaveNet(ARM):
                 n_head_dense += 1
             t_mod = self.config.io_spec.targets[0].module
             q = self.config.io_spec.inputs[0].elem_type.size
-            dec = make_wavenet_pallas_decoder(
-                dilations,
-                has_res,
-                self.config.dims_dilated[0],
-                q,
-                n_head_dense,
-                float(t_mod.min_temperature),
-                B,
-                prior_t,
-                n_steps,
-                argmax,
-                interpret=jax.default_backend() == "cpu",
-            )
+            D = self.config.dims_dilated[0]
             n_layers, hr = len(dilations), has_res
+            interp = jax.default_backend() == "cpu"
+            if mode == "single":
+                dec = make_wavenet_pallas_decoder(
+                    dilations, hr, D, q, n_head_dense,
+                    float(t_mod.min_temperature),
+                    B, prior_t, n_steps, argmax, interpret=interp,
+                )
 
-            @jax.jit
-            def run(params, prompt, rng, temp):
-                w = wavenet_weight_pack(params, n_layers, hr)
-                seed = jax.random.randint(rng, (), 0, np.iinfo(np.int32).max)
-                return dec(w, prompt, seed, temp)
+                @jax.jit
+                def run(params, prompt, rng, temp):
+                    w = wavenet_weight_pack(params, n_layers, hr)
+                    seed = jax.random.randint(
+                        rng, (), 0, np.iinfo(np.int32).max
+                    )
+                    return dec(w, prompt, seed, temp)
+
+            else:
+                hbm = self._chunked_ring_split(B)
+                n_h = sum(hbm)
+                vring = 4 * B * D * sum(
+                    d for d, h in zip(dilations, hbm) if not h
+                )
+                n_it = prior_t + n_steps - 1
+                C = self._chunk_for(B, n_h, vring, n_it)
+                n_chunks = -(-n_it // C)
+                dec = make_wavenet_pallas_chunked(
+                    dilations, hr, hbm, D, q, n_head_dense,
+                    float(t_mod.min_temperature),
+                    B, prior_t, C, argmax, interpret=interp,
+                )
+
+                @jax.jit
+                def run(params, prompt, rng, temp):
+                    w = wavenet_weight_pack(params, n_layers, hr)
+                    seed = jax.random.randint(
+                        rng, (), 0, np.iinfo(np.int32).max // 2
+                    )
+                    prompt_T = prompt.astype(jnp.int32).T
+                    state = dec.init_state()
+                    # token at position t0-1 = prompt[0] (t0 starts at 1)
+                    state[0] = jnp.broadcast_to(
+                        prompt[:, 0].astype(jnp.int32)[None], (8, B)
+                    )
+                    chunks = []
+                    for j in range(n_chunks):
+                        out_c, state = dec(
+                            w, prompt_T, seed + j, temp, 1 + j * C, state
+                        )
+                        chunks.append(out_c)
+                    toks_T = jnp.concatenate(chunks, axis=0)
+                    # row r holds the token at position 1 + r
+                    start = prior_t - 1
+                    return toks_T[start : start + n_steps].T
 
             self._decoders[key] = run
         temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
@@ -733,14 +837,19 @@ class WaveNet(ARM):
                 B, prior_t, n_steps, argmax=temperature is None
             )
             # measured crossover (v5e, 10-layer bench net, BENCH_decode):
-            # 2 slices still beat the scan (b32), but 3+ slices serialize
-            # past it — split b64 2.9M vs scan 3.2M, b128 3.6M vs 4.7M,
-            # b256 3.8M vs 4.3M samples/s.  Auto engages the split only up
-            # to 2 slices; MMK_PALLAS_DECODE=1 forces it (the bench maps
-            # the frontier that way).
-            if sub is not None and not (
-                B > 2 * sub
-                and os.environ.get("MMK_PALLAS_DECODE", "auto") != "1"
+            # for 'single'-mode slices, 2 still beat the scan (b32) but 3+
+            # serialize past it — split b64 2.9M vs scan 3.2M, b128 3.6M
+            # vs 4.7M samples/s.  'chunked'-mode slices are ~256 streams
+            # each (the state-carrying kernel), so even a many-slice split
+            # amortizes — no slice-count cap there.
+            sub_chunked = sub is not None and (
+                self._pallas_mode(sub, prior_t, n_steps, temperature is None)
+                == "chunked"
+            )
+            if sub is not None and (
+                sub_chunked
+                or B <= 2 * sub
+                or os.environ.get("MMK_PALLAS_DECODE", "auto") == "1"
             ):
                 # batch too wide for one kernel's dilation rings: slice and
                 # pipeline one fused dispatch per slice (async — the device

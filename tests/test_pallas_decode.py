@@ -148,6 +148,64 @@ def test_pallas_wavenet_gate_rejects_unsupported(force_pallas):
     assert not supports_pallas_wavenet(net2)
 
 
+def test_pallas_wavenet_chunked_matches_scan_exactly(
+    force_pallas, monkeypatch
+):
+    """The state-carrying WaveNet kernel (large-dilation rings in HBM,
+    DMA-streamed one row per step) must agree with the scan decoder
+    token-for-token across chunk boundaries AND a partial last chunk."""
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io, blocks=(4,), dims_dilated=(16,), skips_dim=16,
+            residuals_dim=16, pad_side=0,
+        )
+    )
+    net.seed(0)
+    rf = net.rf
+    B, n_steps = 4, 50
+    prompts = (np.random.randint(0, 32, (B, rf + 3)).astype(np.int32),)
+    net._ensure_params(prompts)
+    # force the chunked mode with the d=4,8 rings in HBM and several
+    # chunks (incl. a partial one) over the 50 generated steps
+    monkeypatch.setattr(
+        mmk.WaveNet, "_CHUNK_VMEM_RING_BUDGET", 4 * B * 16 * 3 + 1
+    )
+    monkeypatch.setattr(mmk.WaveNet, "_PALLAS_CHUNK", 16)
+    monkeypatch.setattr(mmk.WaveNet, "_PALLAS_CHUNK_MIN", 2)
+    monkeypatch.setattr(mmk.WaveNet, "_PALLAS_CHUNKED_MIN_B", 2)
+    assert net._pallas_mode(B, rf + 3, n_steps) == "chunked"
+    assert net._chunked_ring_split(B) == (False, False, True, True)
+    a = np.asarray(net.generate(prompts, n_steps=n_steps, temperature=None)[0])
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    b = np.asarray(net.generate(prompts, n_steps=n_steps, temperature=None)[0])
+    assert np.array_equal(a, b)
+
+
+def test_pallas_wavenet_chunked_ring_split_guards(force_pallas, monkeypatch):
+    """A budget too small for the d<4 rings must reject the chunked plan
+    (the kernel's DMA hazard window needs d >= 4 for HBM rings)."""
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io, blocks=(3,), dims_dilated=(16,), skips_dim=16,
+            residuals_dim=16, pad_side=0,
+        )
+    )
+    prompts = (np.random.randint(0, 32, (2, net.rf + 2)).astype(np.int32),)
+    net._ensure_params(prompts)
+    monkeypatch.setattr(mmk.WaveNet, "_CHUNK_VMEM_RING_BUDGET", 0)
+    assert net._chunked_ring_split(4) is None
+
+
 def test_pallas_chunked_matches_scan_exactly(force_pallas, monkeypatch):
     """The state-carrying chunked kernel (large-batch path) must agree with
     the scan decoder across chunk boundaries."""
