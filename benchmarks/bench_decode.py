@@ -12,12 +12,14 @@ import time
 import numpy as np
 
 
-def bench(net, B, n_steps, prior_t, q, flag, reps=3):
+def bench(net, B, n_steps, prior_t, q, flag, reps=3, env=()):
     import jax
 
     from _timing import fence, read_rtt
 
     os.environ["MMK_PALLAS_DECODE"] = flag
+    for k, v in env:
+        os.environ[k] = v
     prompts = (np.random.randint(0, q, (B, prior_t)).astype(np.int32),)
     net._ensure_params(prompts)
     out = net.generate(prompts, n_steps=n_steps, temperature=0.9)
@@ -43,6 +45,8 @@ def bench(net, B, n_steps, prior_t, q, flag, reps=3):
         reps = min(int(1.0 / per_rep) + 1, 512)
         per_rep = run(reps)
     dt = per_rep
+    for k, _ in env:
+        os.environ.pop(k, None)
     routing = getattr(net, "_use_pallas_decode", None)
     used_pallas = bool(routing and routing(B, prior_t, n_steps, argmax=False))
     split = getattr(net, "_pallas_batch_split", None)
@@ -122,14 +126,14 @@ def main():
         ("samplernn3_scan_b256", srnn, 256, 16384, 32, "0", 50_000.0),
         ("wavenet10_pallas_b8", wn, 8, 2048, wn.rf + 8, "auto", 1e6),
         ("wavenet10_pallas_b24", wn, 24, 2048, wn.rf + 8, "auto", 1e6),
-        # past b24 the dilation rings outgrow scoped VMEM: the fused path
-        # pipelines per-slice kernel dispatches (_pallas_batch_split).
-        # flag=1 FORCES the split to map the frontier — measured the scan
-        # wins from 3+ slices, so auto routes b>48 to the scan
-        # (networks/wavenet.py crossover comment)
-        ("wavenet10_pallas_b64", wn, 64, 2048, wn.rf + 8, "1", 1e6),
-        ("wavenet10_pallas_b128", wn, 128, 2048, wn.rf + 8, "1", 1e6),
-        ("wavenet10_pallas_b256", wn, 256, 2048, wn.rf + 8, "1", 1e6),
+        # past b24 the dilation rings outgrow scoped VMEM: auto now routes
+        # wide batches to the CHUNKED state-carrying kernel (large-dilation
+        # rings in HBM, one DMA'd row per step — ops/pallas_decode.py:
+        # make_wavenet_pallas_chunked), which beats the scan 3-4x where the
+        # old batch-split conceded (r3: split b128 3.6M vs scan 4.7M)
+        ("wavenet10_pallas_b64", wn, 64, 2048, wn.rf + 8, "auto", 1e6),
+        ("wavenet10_pallas_b128", wn, 128, 2048, wn.rf + 8, "auto", 1e6),
+        ("wavenet10_pallas_b256", wn, 256, 2048, wn.rf + 8, "auto", 1e6),
         ("wavenet10_scan_b64", wn, 64, 2048, wn.rf + 8, "0", 1e6),
         ("wavenet10_scan_b128", wn, 128, 2048, wn.rf + 8, "0", 1e6),
         ("wavenet10_scan_b256", wn, 256, 2048, wn.rf + 8, "0", 1e6),
@@ -143,6 +147,17 @@ def main():
         # per-stream rate vs realtime — see per_stream fields below)
         ("transformer8l_scan_b32", tf, 32, 4096, 64, "0", 16000.0),
         ("transformer8l_scan_b64", tf, 64, 4096, 64, "0", 16000.0),
+        # bf16 window refeed (MMK_DECODE_BF16): the decode is MXU-bound —
+        # ~17 GFLOP/step at b16 — so bf16's 2x matmul rate is the whole
+        # remaining lever.  NOTE the physics bound: even at bf16 peak
+        # (197 TFLOPS) 17.2 GFLOP/step = 87 us/step = 11.5k samples/s per
+        # stream < 16 kHz realtime — window-refeed semantics CANNOT serve
+        # live audio per stream at this depth; only a KV-cache mode
+        # (different PE semantics, PARITY divergence) could.
+        ("transformer8l_scan_bf16_b16", tf, 16, 4096, 64, "0", 16000.0,
+         (("MMK_DECODE_BF16", "1"),)),
+        ("transformer8l_scan_bf16_b32", tf, 32, 4096, 64, "0", 16000.0,
+         (("MMK_DECODE_BF16", "1"),)),
         # hierarchical tiers: the fused tier-pyramid kernel batches streams
         # too (frame-major block-diag attention) up to its VMEM envelope
         ("jukebox3_pallas_b1", jb, 1, 4096, 128, "auto", 16000.0),
@@ -150,8 +165,11 @@ def main():
         ("jukebox3_pallas_b16", jb, 16, 4096, 128, "auto", 16000.0),
         ("jukebox3_win_b16", jb, 16, 4096, 128, "0", 16000.0),
     ]
-    for name, net, B, n_steps, prior_t, flag, base in cases:
-        sps, us, used_pallas = bench(net, B, n_steps, prior_t, 256, flag)
+    for name, net, B, n_steps, prior_t, flag, base, *env in cases:
+        sps, us, used_pallas = bench(
+            net, B, n_steps, prior_t, 256, flag,
+            env=env[0] if env else (),
+        )
         entry = {
             "metric": f"{name}_samples_per_sec",
             "value": round(sps, 1),

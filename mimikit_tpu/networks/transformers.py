@@ -9,6 +9,7 @@ sequence + FFN — batch-first throughout (no permutes; XLA prefers it).
 from __future__ import annotations
 
 import dataclasses as dtc
+import os
 from typing import List, Optional, Tuple
 
 import flax.linen as nn
@@ -322,11 +323,20 @@ class _StatefulTransformerARM(ARM):
         semantics (incl. window-relative positional encoding) exactly."""
         import jax
 
-        key = ("win", B, Tp, n_steps, str(dtype), argmax)
+        # MMK_DECODE_BF16=1: run the window refeed in bfloat16 (params +
+        # activations; the decode is MXU-bound — 17 GFLOP/step for the
+        # 8-layer rf=64 net at b16 — so bf16's 2x matmul rate is the only
+        # lever left below a KV cache).  Logits then carry bf16 rounding:
+        # sampled/argmax tokens can drift from the f32 scan (opt-in,
+        # PARITY divergence; same knob family as MMK_PALLAS_BF16).
+        bf16 = os.environ.get("MMK_DECODE_BF16") == "1"
+        key = ("win", B, Tp, n_steps, str(dtype), argmax, bf16)
         if key in self._decoders:
             return self._decoders[key]
         rf = self._window_len()
         module = self.module
+        if bf16:
+            from .. import precision as _prec
         # how far past the write position the refeed window reaches.  The
         # flat transformer consumes every window token and predicts the
         # next, so its window ends right before the write position (lead
@@ -341,6 +351,8 @@ class _StatefulTransformerARM(ARM):
             buf = jnp.concatenate(
                 [x, jnp.zeros((B, n_steps), x.dtype)], axis=1
             )
+            if bf16:
+                params = _prec.cast_floats(params, jnp.bfloat16)
 
             def step(carry, t):
                 b, sk_rng = carry
@@ -348,14 +360,25 @@ class _StatefulTransformerARM(ARM):
                 win = jax.lax.dynamic_slice_in_dim(
                     b, t - rf + lead, rf, axis=1
                 )
-                outs, _ = module.apply(
-                    {"params": params},
-                    (win,),
-                    None,
-                    False,
-                    None if argmax else temperature,
-                    rngs={"sample": sk},
-                )
+                if bf16:
+                    with _prec.compute(jnp.bfloat16):
+                        outs, _ = module.apply(
+                            {"params": params},
+                            (win,),
+                            None,
+                            False,
+                            None if argmax else temperature,
+                            rngs={"sample": sk},
+                        )
+                else:
+                    outs, _ = module.apply(
+                        {"params": params},
+                        (win,),
+                        None,
+                        False,
+                        None if argmax else temperature,
+                        rngs={"sample": sk},
+                    )
                 o = outs[0]
                 tok = (o[..., 0] if o.ndim > 1 else o).astype(b.dtype)
                 tok = tok.reshape(b.shape[0])

@@ -191,6 +191,30 @@ def test_simple_transformer_window_decode_matches_stepwise():
         assert np.array_equal(tok.astype(seq.dtype), seq[:, t]), t
 
 
+def test_window_decode_bf16_knob(monkeypatch):
+    """MMK_DECODE_BF16=1 runs the window refeed in bfloat16 (2x MXU rate
+    on TPU).  Tokens may drift from f32 (documented divergence) but the
+    path must produce a valid sequence that echoes the prompt, and the
+    decoder cache must keep the two dtypes apart."""
+    tr = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=small_io(), model_dim=32, n_heads=4, feedforward_dim=64,
+            num_layers=2, rf=16,
+        )
+    )
+    tr.seed(0)
+    prompts = (np.random.randint(0, 32, (2, 24)).astype(np.int32),)
+    tr.generate(prompts, n_steps=4, temperature=None)
+    n_f32 = len(tr._decoders)
+    monkeypatch.setenv("MMK_DECODE_BF16", "1")
+    out = tr.generate(prompts, n_steps=10, temperature=None)
+    seq = np.asarray(out[0])
+    assert seq.shape == (2, 34)
+    assert np.array_equal(seq[:, :24], prompts[0])
+    assert seq.max() < 32 and seq.min() >= 0
+    assert len(tr._decoders) > n_f32  # cached under a distinct key
+
+
 def test_jukebox_window_decode_matches_stepwise():
     jb = mmk.JukeBox.from_config(
         mmk.JukeBox.Config(
