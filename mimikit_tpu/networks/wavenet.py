@@ -893,6 +893,105 @@ class WaveNet(ARM):
             out = tuple(b[:, pad_left:] for b in out)
         return out
 
+    def stream(self, prompts: Tuple, chunk_steps: int, temperature=None,
+               rng=None):
+        """Unbounded generation: yield ``(B, chunk_steps)`` token chunks
+        forever, continuing EXACTLY across chunks.
+
+        When the chunked fused kernel is eligible (wide stream batches),
+        the dilation rings stay on-device across yields, so the argmax
+        stream equals one long decode token-for-token; sampled streams
+        draw from the same tempered distribution under a per-chunk seed
+        schedule (PARITY divergence #9).  Otherwise falls back to
+        rf-window re-feeding — exact for WaveNet, whose conditioning is
+        precisely the rf window."""
+        prompt = jnp.asarray(prompts[0])
+        self._ensure_params((prompt,))
+        B, prior_t = prompt.shape
+        argmax = temperature is None
+        if rng is None:
+            rng = self.next_rng()
+        mode = (
+            prior_t >= self.rf + 1
+            and self._pallas_mode(B, prior_t, chunk_steps, argmax)
+        )
+        if mode != "chunked":
+            from ..loops.streaming import _refeed_stream
+
+            yield from _refeed_stream(
+                self, prompt, chunk_steps, temperature, rng
+            )
+            return
+
+        from ..ops.pallas_decode import (
+            make_wavenet_pallas_chunked,
+            wavenet_weight_pack,
+        )
+
+        dilations, has_res = self._layer_meta()
+        D = self.config.dims_dilated[0]
+        hbm = self._chunked_ring_split(B)
+        n_h = sum(hbm)
+        vring = 4 * B * D * sum(d for d, h in zip(dilations, hbm) if not h)
+        C = min(
+            max(chunk_steps, self._PALLAS_CHUNK_MIN),
+            self._chunk_for(B, n_h, vring, 1 << 30),
+        )
+        key = ("stream", B, prior_t, C, argmax)
+        if key not in self._decoders:
+            n_head_dense = 0
+            core = self.params["output_modules_0"]["estimator"]["core"]
+            while f"Dense_{n_head_dense}" in core:
+                n_head_dense += 1
+            t_mod = self.config.io_spec.targets[0].module
+            q = self.config.io_spec.inputs[0].elem_type.size
+            n_layers, hr = len(dilations), has_res
+            dec = make_wavenet_pallas_chunked(
+                dilations, hr, hbm, D, q, n_head_dense,
+                float(t_mod.min_temperature),
+                B, prior_t, C, argmax,
+                interpret=jax.default_backend() == "cpu",
+            )
+
+            @jax.jit
+            def run(params, prompt_T, seed, temp, t0, state):
+                w = wavenet_weight_pack(params, n_layers, hr)
+                return dec(w, prompt_T, seed, temp, t0, state)
+
+            self._decoders[key] = (run, dec.init_state)
+        run, init_state = self._decoders[key]
+        temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        seed0 = int(
+            jax.random.randint(rng, (), 0, np.iinfo(np.int32).max // 2)
+        )
+        prompt_T = prompt.astype(jnp.int32).T
+        state = init_state()
+        state[0] = jnp.broadcast_to(
+            prompt[:, 0].astype(jnp.int32)[None], (8, B)
+        )
+        t_abs, k = 1, 0
+        buf = np.zeros((B, 0), np.int32)
+        while True:
+            out_T, state = run(
+                self.params,
+                prompt_T,
+                jnp.asarray(seed0 + k, jnp.int32),
+                temp,
+                jnp.asarray(t_abs, jnp.int32),
+                state,
+            )
+            new = np.asarray(out_T).T  # (B, C) tokens at t_abs..t_abs+C-1
+            drop = max(0, prior_t - t_abs)  # prompt-echo warm-up rows
+            if drop:
+                new = new[:, drop:]
+            t_abs += C
+            k += 1
+            if new.shape[1]:
+                buf = np.concatenate([buf, new], axis=1)
+            while buf.shape[1] >= chunk_steps:
+                yield buf[:, :chunk_steps]
+                buf = buf[:, chunk_steps:]
+
     # -- step-wise parity API ------------------------------------------------
     def before_generate(self, prompts: Tuple, batch_index: int) -> None:
         self._ensure_params(prompts)

@@ -55,6 +55,56 @@ def test_samplernn_stream_matches_long_decode_exactly(monkeypatch):
     np.testing.assert_array_equal(streamed, long)
 
 
+def test_wavenet_chunked_stream_matches_long_decode_exactly(monkeypatch):
+    """The fused chunked WaveNet stream carries the dilation rings
+    on-device across yields: argmax chunks must equal one long decode
+    token-for-token (incl. HBM-ring layers and chunk sizes that do not
+    divide the yield size)."""
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "1")  # interpret-mode kernel
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io, blocks=(4,), dims_dilated=(16,), skips_dim=16,
+            residuals_dim=16, pad_side=0,
+        )
+    )
+    net.seed(0)
+    B, chunk, n_chunks = 4, 10, 3
+    prior_t = net.rf + 2
+    monkeypatch.setattr(
+        mmk.WaveNet, "_CHUNK_VMEM_RING_BUDGET", 4 * B * 16 * 3 + 1
+    )
+    monkeypatch.setattr(mmk.WaveNet, "_PALLAS_CHUNK", 16)
+    monkeypatch.setattr(mmk.WaveNet, "_PALLAS_CHUNK_MIN", 8)
+    monkeypatch.setattr(mmk.WaveNet, "_PALLAS_CHUNKED_MIN_B", 2)
+    prompt = np.random.RandomState(0).randint(
+        0, 32, (B, prior_t)
+    ).astype(np.int32)
+    net.init_params(batch_size=B, batch_length=32)
+    assert net._pallas_mode(B, prior_t, chunk) == "chunked"
+
+    import jax
+
+    rng = jax.random.PRNGKey(7)
+    chunks = list(
+        itertools.islice(
+            net.stream((prompt,), chunk, temperature=None, rng=rng), n_chunks
+        )
+    )
+    assert all(c.shape == (B, chunk) for c in chunks)
+    streamed = np.concatenate(chunks, axis=1)
+    long = np.asarray(
+        net.generate(
+            (prompt,), n_steps=n_chunks * chunk, temperature=None, rng=rng
+        )[0]
+    )[:, prior_t:]
+    np.testing.assert_array_equal(streamed, long)
+
+
 def test_wavenet_refeed_stream_matches_long_decode_exactly():
     net = mmk.WaveNet.from_config(
         mmk.WaveNet.Config(
