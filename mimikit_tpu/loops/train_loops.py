@@ -456,10 +456,16 @@ class TrainARMLoop:
             batch_tree = self.loader.batch
 
             def fused(params, opt_state, hidden, metric_sums, rng, idxs):
-                def body(carry, idx):
+                # ONE (K*B)-window gather + transform up front instead of a
+                # per-scan-step gather: 16 small gathers serialized inside
+                # the scan cost ~0.09 ms/step on v5e (gathers run far below
+                # HBM bandwidth); one big gather amortizes the
+                # serialization and lets the scan consume ready slices
+                flat_all = jax.vmap(gather)(idxs)
+
+                def body(carry, flat):
                     params, opt_state, hidden, metric_sums, rng = carry
                     rng, sub = jax.random.split(rng)
-                    flat = gather(idx)
                     it = iter(flat)
                     inputs, targets = process_batch(
                         batch_tree,
@@ -479,11 +485,29 @@ class TrainARMLoop:
 
                 carry = (params, opt_state, hidden, metric_sums, rng)
                 (params, opt_state, hidden, metric_sums, rng), losses = (
-                    jax.lax.scan(body, carry, idxs)
+                    jax.lax.scan(body, carry, flat_all)
                 )
                 return params, opt_state, hidden, metric_sums, rng, losses[-1]
 
             self._fused_step_fn = jax.jit(fused, donate_argnums=(0, 1, 3))
+
+    def _flush_pending_metrics(self):
+        """Read + log the metric sums deferred from the previous epoch (the
+        fused path trades epoch-end read latency for a one-epoch lag in
+        the printed/logged averages; see run())."""
+        pending = getattr(self, "_pending_metrics", None)
+        if pending is None:
+            return
+        self._pending_metrics = None
+        pe, sums_arr, n = pending
+        sums = jax.device_get(sums_arr)
+        avgs = {k: float(v) / n for k, v in sums.items()}
+        self.metrics.check_loss(avgs.get("loss", 0.0))
+        self.metrics.log_output(avgs)
+        self.metrics.flush_epoch(pe, logger=self._loss_logger())
+        # flush_epoch does not clear the accumulators — reset so the next
+        # (immediate-path or deferred) flush does not mix two epochs
+        self.metrics.on_epoch_start()
 
     def _prepare_batch(self, batch):
         (inputs, targets) = batch
@@ -552,6 +576,7 @@ class TrainARMLoop:
         hidden = None
         interrupted = False
         epoch = self.start_epoch
+        self._pending_metrics = None
         # a host sync per step would cost a device round trip each time (the
         # reference's per-batch .item() equivalent); instead metrics
         # accumulate on device and the NaN guard fires periodically
@@ -670,14 +695,33 @@ class TrainARMLoop:
                         if (batch_idx % nan_check_every) == 0:
                             self.metrics.check_loss(float(d["loss"]))
                 self.net.params = params
-                if metric_sums is not None:
-                    # ONE device read for all metrics (per-key float() would
-                    # pay one round trip each)
-                    sums = jax.device_get(metric_sums)
-                    avgs = {k: float(v) / n_batches for k, v in sums.items()}
-                    self.metrics.check_loss(avgs.get("loss", 0.0))
-                    self.metrics.log_output(avgs)
-                self.metrics.flush_epoch(epoch, logger=self._loss_logger())
+                if fused and epoch < cfg.max_epochs:
+                    # deferred by one epoch (same trick as the NaN probe):
+                    # reading THIS epoch's sums would wait for every queued
+                    # step to complete before the ~35 ms tunnel round trip;
+                    # the PREVIOUS epoch's sums are long computed, so their
+                    # read overlaps the device's progress on this epoch.
+                    # Epoch labels stay correct — only the wall-clock moment
+                    # of the print/log shifts by one epoch.
+                    self._flush_pending_metrics()
+                    if metric_sums is not None:
+                        self._pending_metrics = (
+                            epoch, metric_sums, n_batches
+                        )
+                else:
+                    self._flush_pending_metrics()
+                    if metric_sums is not None:
+                        # ONE device read for all metrics (per-key float()
+                        # would pay one round trip each)
+                        sums = jax.device_get(metric_sums)
+                        avgs = {
+                            k: float(v) / n_batches for k, v in sums.items()
+                        }
+                        self.metrics.check_loss(avgs.get("loss", 0.0))
+                        self.metrics.log_output(avgs)
+                    self.metrics.flush_epoch(
+                        epoch, logger=self._loss_logger()
+                    )
                 for cb in self.callbacks:
                     if isinstance(cb, MMKCheckpoint):
                         cb.on_train_epoch_end(self, epoch, self.global_step)
@@ -690,6 +734,7 @@ class TrainARMLoop:
         except KeyboardInterrupt:
             interrupted = True
         finally:
+            self._flush_pending_metrics()
             self.net.params = params
             if interrupted:
                 for cb in self.callbacks:

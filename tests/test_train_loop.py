@@ -176,6 +176,43 @@ def test_fused_device_batched_training(tmp_path):
     assert np.isfinite(loop.metrics.averages().get("loss", np.nan))
 
 
+def test_fused_deferred_metrics_flush_every_epoch(tmp_path):
+    """The fused path defers each epoch's metric read by one epoch (the
+    read then overlaps the next epoch's device work instead of draining
+    the dispatch queue).  Every epoch must still be flushed exactly once,
+    labelled with ITS index, in order."""
+    ds_cfg = make_db_config(tmp_path, filename="defm.h5")
+    db = ds_cfg.create(mode="w")
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16),
+        extractor=ds_cfg.extractors[0],
+    )
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(4, 2, 2), hidden_dim=16, io_spec=io)
+    )
+    cfg = mmk.TrainARMConfig(
+        root_dir=str(tmp_path),
+        batch_size=4,
+        batch_length=16,
+        limit_train_batches=4,
+        max_epochs=3,
+        every_n_epochs=100,
+        CHECKPOINT_TRAINING=False,
+        MONITOR_TRAINING=False,
+        OUTPUT_TRAINING="",
+        trainer_kwargs={"device_batching": True},
+    )
+    loop = mmk.TrainARMLoop.from_config(cfg, dataset=db, network=net)
+    flushed = []
+    orig = loop.metrics.flush_epoch
+    loop.metrics.flush_epoch = lambda e, logger=None: flushed.append(
+        (e, orig(e, logger=logger))
+    )
+    loop.run()
+    assert [e for e, _ in flushed] == [1, 2, 3]
+    assert all(np.isfinite(a.get("loss", np.nan)) for _, a in flushed)
+
+
 def test_fused_with_tbptt_matches_checkpointing(tmp_path):
     """TBPTT + device batching also runs fused (hidden reset at chunk
     boundaries happens host-side between dispatches)."""
