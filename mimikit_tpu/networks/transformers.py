@@ -637,6 +637,102 @@ class SimpleTransformer(_StatefulTransformerARM):
         cont = jnp.swapaxes(preds[Tp - 1 :], 0, 1)  # (B, n_steps)
         return (jnp.concatenate([x, cont.astype(x.dtype)], axis=1),)
 
+    def stream(self, prompts: Tuple, chunk_steps: int, temperature=None,
+               rng=None):
+        """Unbounded generation: yield ``(B, chunk_steps)`` token chunks
+        forever.
+
+        Default: rf-window re-feeding — exact (the window IS the decode
+        state) but O(rf) per step, which caps per-stream throughput at
+        ~0.25x realtime for the 8-layer net (see the physics note in
+        ``benchmarks/bench_decode.py``: 17 GFLOP/step beats any ceiling).
+
+        ``MMK_DECODE_KV=1`` switches to the O(1)-per-step KV-RING decode
+        (``ops/pallas_decode.make_transformer_kv_ring_decoder``): per-layer
+        K/V ring caches over the last rf positions + absolute analytic
+        positional encoding, with all state carried on-device across
+        yields.  This is streaming-transformer semantics, a documented
+        divergence from the reference's window refeed (PARITY #10): each
+        position's K/V freeze at production time and the PE is absolute,
+        so tokens drift from the refeed after the first step (the FIRST
+        prediction from an rf-length prompt is identical — same attention
+        set, same PE — pinned in tests)."""
+        prompt = jnp.asarray(prompts[0])
+        self._ensure_params((prompt,))
+        B, Tp = prompt.shape
+        argmax = temperature is None
+        if rng is None:
+            rng = self.next_rng()
+        from ..ops.pallas_decode import supports_pallas_transformer
+
+        if (
+            os.environ.get("MMK_DECODE_KV") != "1"
+            or not supports_pallas_transformer(self)
+            or Tp < 1
+        ):
+            from ..loops.streaming import _refeed_stream
+
+            yield from _refeed_stream(
+                self, prompt, chunk_steps, temperature, rng
+            )
+            return
+
+        from ..ops.pallas_decode import (
+            make_transformer_kv_ring_decoder,
+            transformer_weight_pack,
+        )
+
+        c = self._config
+        C = max(chunk_steps, 64)
+        key = ("kvstream", B, Tp, C, argmax)
+        if key not in self._decoders:
+            t_mod = c.io_spec.targets[0].module
+            q = c.io_spec.inputs[0].elem_type.size
+            n_head_dense = 0
+            core = self.params["output_modules_0"]["estimator"]["core"]
+            while f"Dense_{n_head_dense}" in core:
+                n_head_dense += 1
+            fln = bool(c.with_layer_norm)
+            dec = make_transformer_kv_ring_decoder(
+                c.model_dim, c.n_heads, c.feedforward_dim, c.num_layers,
+                self.rf, q, n_head_dense, float(t_mod.min_temperature),
+                fln, B, Tp, C, argmax,
+            )
+            L = c.num_layers
+
+            @jax.jit
+            def run(params, prompt_T, rng, temp, t0, state):
+                w = transformer_weight_pack(params, L, fln)
+                return dec(w, prompt_T, rng, temp, t0, state)
+
+            self._decoders[key] = (run, dec.init_state)
+        run, init_state = self._decoders[key]
+        temp = jnp.asarray(1.0 if argmax else temperature, jnp.float32)
+        prompt_T = prompt.astype(jnp.int32).T
+        state = init_state()
+        state[0] = jnp.broadcast_to(
+            prompt[:, 0].astype(jnp.int32)[None], (8, B)
+        )
+        t_abs, k = 1, 0
+        buf = np.zeros((B, 0), np.int32)
+        while True:
+            rng, sub = jax.random.split(rng)
+            out_T, state = run(
+                self.params, prompt_T, sub, temp,
+                jnp.asarray(t_abs, jnp.int32), state,
+            )
+            new = np.asarray(out_T).T  # (B, C) tokens at t_abs..t_abs+C-1
+            drop = max(0, Tp - t_abs)  # prompt-echo warm-up rows
+            if drop:
+                new = new[:, drop:]
+            t_abs += C
+            k += 1
+            if new.shape[1]:
+                buf = np.concatenate([buf, new], axis=1)
+            while buf.shape[1] >= chunk_steps:
+                yield buf[:, :chunk_steps]
+                buf = buf[:, chunk_steps:]
+
 
 class TransformerTier(nn.Module):
     """SampleRNN-style tier with a transformer instead of an RNN

@@ -133,6 +133,48 @@ def test_wavenet_refeed_stream_matches_long_decode_exactly():
     np.testing.assert_array_equal(streamed, long)
 
 
+def test_transformer_kv_ring_stream(monkeypatch):
+    """MMK_DECODE_KV=1 streams via the O(1)-per-step KV-ring decoder
+    (PARITY #10).  Pins: (a) the FIRST prediction from an rf-length prompt
+    equals the window decoder's exactly (same attention set, same PE);
+    (b) the stream is chunk-size invariant (the carried ring state is
+    exact across yields)."""
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=io, model_dim=32, n_heads=4, feedforward_dim=64,
+            num_layers=2, rf=16, input_dropout=0.0,
+        )
+    )
+    net.seed(0)
+    B, rf = 2, 16
+    prompt = np.random.RandomState(3).randint(0, 32, (B, rf)).astype(np.int32)
+    net.init_params(batch_size=B, batch_length=rf)
+
+    win_first = np.asarray(
+        net.generate((prompt,), n_steps=1, temperature=None)[0]
+    )[:, rf]
+
+    import jax
+
+    monkeypatch.setenv("MMK_DECODE_KV", "1")
+    rng = jax.random.PRNGKey(5)
+    s1 = net.stream((prompt,), 5, temperature=None, rng=rng)
+    chunks5 = [next(s1) for _ in range(4)]
+    assert all(c.shape == (B, 5) for c in chunks5)
+    seq5 = np.concatenate(chunks5, axis=1)
+    np.testing.assert_array_equal(seq5[:, 0], win_first)  # anchor (a)
+
+    s2 = net.stream((prompt,), 8, temperature=None, rng=rng)
+    seq8 = np.concatenate([next(s2) for _ in range(3)], axis=1)
+    n = min(seq5.shape[1], seq8.shape[1])
+    np.testing.assert_array_equal(seq5[:, :n], seq8[:, :n])  # invariance (b)
+
+
 def test_stream_audio_yields_float_audio():
     net = mmk.SampleRNN.from_config(
         mmk.SampleRNN.Config(
