@@ -258,11 +258,25 @@ def main():
     # jukebox single-stream serving rides the fused tier-pyramid kernel
     # through the same streaming API (window re-feed per chunk, exact)
     stream_cases = (
-        ("samplernn3_stream_b1", srnn, 1, 32, 20),
-        ("samplernn3_stream_b64", srnn, 64, 32, 20),
-        ("jukebox3_stream_b1", jb, 1, 128, 10),
+        ("samplernn3_stream_b1", srnn, 1, 32, 20, ()),
+        ("samplernn3_stream_b64", srnn, 64, 32, 20, ()),
+        ("jukebox3_stream_b1", jb, 1, 128, 10, ()),
+        # round 4: WaveNet wide-batch streaming rides the chunked
+        # state-carrying kernel (dilation rings stay on device)
+        ("wavenet10_stream_b64", wn, 64, wn.rf + 8, 10, ()),
+        # round 4: KV-ring transformer serving (MMK_DECODE_KV=1) — O(1)
+        # per step vs the window refeed's O(rf); streaming-transformer
+        # semantics, PARITY divergence #10
+        ("transformer8l_kv_stream_b1", tf, 1, 64, 5,
+         (("MMK_DECODE_KV", "1"),)),
+        ("transformer8l_kv_stream_b4", tf, 4, 64, 5,
+         (("MMK_DECODE_KV", "1"),)),
+        ("transformer8l_kv_stream_b16", tf, 16, 64, 5,
+         (("MMK_DECODE_KV", "1"),)),
     )
-    for name, net, B, prior_t, n_chunks in stream_cases:
+    for name, net, B, prior_t, n_chunks, env in stream_cases:
+        for k, v in env:
+            os.environ[k] = v
         prompts = (np.random.randint(0, 256, (B, prior_t)).astype(np.int32),)
         it = mmk.stream_tokens(net, prompts, chunk, temperature=0.9)
         next(it)  # compile + warm
@@ -270,6 +284,8 @@ def main():
         for _ in range(n_chunks):
             next(it)  # host numpy chunk: arrival == completion
         per_chunk = (time.time() - t0) / n_chunks
+        for k, _ in env:
+            os.environ.pop(k, None)
         entry = {
             "metric": f"{name}_ms_per_100ms_chunk",
             "value": round(per_chunk * 1e3, 2),

@@ -551,6 +551,39 @@ class SimpleTransformer(_StatefulTransformerARM):
         )
         return w_bytes + 4 * B * n_steps < 100 * 2**20
 
+    def _use_pallas_kv(self, B: int, argmax: bool) -> bool:
+        """Gate for the FUSED KV-ring stream kernel
+        (``ops/pallas_decode.make_transformer_kv_ring_pallas``).  The four
+        f32 rings are carried kernel outputs, so they live in scoped VMEM
+        (16 MiB on v5e) — that bounds ``B`` (B<=5 for the 8L/d256/rf64
+        bench net); wider KV batches fall back to the pure-jax ring scan,
+        which is latency-bound but batch-flat."""
+        import os
+
+        flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
+        if flag == "0" or getattr(self, "_pallas_kv_disabled", False):
+            return False
+        from ..ops.pallas_decode import supports_pallas_transformer
+
+        if not supports_pallas_transformer(self):
+            return False
+        c = self._config
+        # lane-sliced fused qkv needs 128-aligned d; per-stream ring/row
+        # slices need sublane-aligned rf
+        if c.model_dim % 128 != 0 or self.rf % 8 != 0:
+            return False
+        if jax.default_backend() == "cpu" and (flag != "1" or not argmax):
+            # interpret mode has no TPU PRNG — argmax only, forced (tests)
+            return False
+        ring_bytes = 4 * 4 * c.num_layers * B * self.rf * c.model_dim
+        if ring_bytes > 12 * 2**20:
+            return False
+        w_bytes = 4 * sum(
+            int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(self.params)
+        )
+        return w_bytes + 2 * ring_bytes < 100 * 2**20
+
     def _pallas_generate(self, prompts, n_steps, temperature, rng):
         from ..ops.pallas_decode import (
             make_transformer_pallas_decoder,
@@ -684,7 +717,8 @@ class SimpleTransformer(_StatefulTransformerARM):
 
         c = self._config
         C = max(chunk_steps, 64)
-        key = ("kvstream", B, Tp, C, argmax)
+        fused = self._use_pallas_kv(B, argmax)
+        key = ("kvstream", B, Tp, C, argmax, fused)
         if key not in self._decoders:
             t_mod = c.io_spec.targets[0].module
             q = c.io_spec.inputs[0].elem_type.size
@@ -693,17 +727,41 @@ class SimpleTransformer(_StatefulTransformerARM):
             while f"Dense_{n_head_dense}" in core:
                 n_head_dense += 1
             fln = bool(c.with_layer_norm)
-            dec = make_transformer_kv_ring_decoder(
-                c.model_dim, c.n_heads, c.feedforward_dim, c.num_layers,
-                self.rf, q, n_head_dense, float(t_mod.min_temperature),
-                fln, B, Tp, C, argmax,
-            )
             L = c.num_layers
+            if fused:
+                from ..ops.pallas_decode import (
+                    make_transformer_kv_ring_pallas,
+                    transformer_kv_weight_fuse,
+                )
 
-            @jax.jit
-            def run(params, prompt_T, rng, temp, t0, state):
-                w = transformer_weight_pack(params, L, fln)
-                return dec(w, prompt_T, rng, temp, t0, state)
+                dec = make_transformer_kv_ring_pallas(
+                    c.model_dim, c.n_heads, c.feedforward_dim, L,
+                    self.rf, q, n_head_dense,
+                    float(t_mod.min_temperature), fln, B, Tp, C, argmax,
+                    interpret=jax.default_backend() == "cpu",
+                )
+
+                @jax.jit
+                def run(params, prompt_T, rng, temp, t0, state):
+                    w = transformer_kv_weight_fuse(
+                        transformer_weight_pack(params, L, fln), L, fln
+                    )
+                    seed = jax.random.randint(
+                        rng, (), 0, np.iinfo(np.int32).max
+                    )
+                    return dec(w, prompt_T, seed, temp, t0, state)
+
+            else:
+                dec = make_transformer_kv_ring_decoder(
+                    c.model_dim, c.n_heads, c.feedforward_dim, L,
+                    self.rf, q, n_head_dense,
+                    float(t_mod.min_temperature), fln, B, Tp, C, argmax,
+                )
+
+                @jax.jit
+                def run(params, prompt_T, rng, temp, t0, state):
+                    w = transformer_weight_pack(params, L, fln)
+                    return dec(w, prompt_T, rng, temp, t0, state)
 
             self._decoders[key] = (run, dec.init_state)
         run, init_state = self._decoders[key]
@@ -717,10 +775,35 @@ class SimpleTransformer(_StatefulTransformerARM):
         buf = np.zeros((B, 0), np.int32)
         while True:
             rng, sub = jax.random.split(rng)
-            out_T, state = run(
-                self.params, prompt_T, sub, temp,
-                jnp.asarray(t_abs, jnp.int32), state,
-            )
+            if fused and k == 0:
+                # degrade contract: a Mosaic rejection on the fused KV
+                # kernel's first compile/run must not kill the stream —
+                # fall back to the pure-jax ring scan (same semantics)
+                try:
+                    out_T, state = run(
+                        self.params, prompt_T, sub, temp,
+                        jnp.asarray(t_abs, jnp.int32), state,
+                    )
+                    np.asarray(out_T)  # surface deferred kernel failures
+                except Exception:  # pragma: no cover - hardware-dependent
+                    import warnings
+
+                    warnings.warn(
+                        "fused KV-ring kernel failed to compile/run; "
+                        "falling back to the pure-jax KV scan",
+                        RuntimeWarning,
+                    )
+                    self._pallas_kv_disabled = True
+                    yield from self.stream(
+                        prompts, chunk_steps, temperature=temperature,
+                        rng=rng,
+                    )
+                    return
+            else:
+                out_T, state = run(
+                    self.params, prompt_T, sub, temp,
+                    jnp.asarray(t_abs, jnp.int32), state,
+                )
             new = np.asarray(out_T).T  # (B, C) tokens at t_abs..t_abs+C-1
             drop = max(0, Tp - t_abs)  # prompt-echo warm-up rows
             if drop:

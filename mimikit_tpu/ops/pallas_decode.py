@@ -39,6 +39,8 @@ __all__ = [
     "supports_pallas_transformer",
     "transformer_weight_pack",
     "make_transformer_pallas_decoder",
+    "transformer_kv_weight_fuse",
+    "make_transformer_kv_ring_pallas",
     "supports_pallas_jukebox",
     "jukebox_weight_pack",
     "make_jukebox_pallas_decoder",
@@ -1644,6 +1646,369 @@ def make_transformer_kv_ring_decoder(
             jnp.zeros((L, rf, B, d), jnp.float32),
             jnp.zeros((L, rf, B, d), jnp.float32),
         ]
+
+    fn.init_state = init_state
+    return fn
+
+
+def transformer_kv_weight_fuse(weights, num_layers: int, with_final_ln: bool):
+    """Re-pack ``transformer_weight_pack`` output for the fused KV kernel:
+    self q/k/v kernels concatenate to one (L, d, 3d) matmul, cross k/v to
+    (L, d, 2d) — one MXU pass instead of three per projection set.  Pure
+    jnp (runs under the caller's jit, once per trace)."""
+    w = list(weights)
+    embed = w.pop(0)
+    self_w = [w.pop(0) for _ in range(8)]
+    cross_w = [w.pop(0) for _ in range(8)]
+    ln_w = [w.pop(0) for _ in range(6)]
+    ffn_w = [w.pop(0) for _ in range(4)]
+    final_w = [w.pop(0), w.pop(0)] if with_final_ln else []
+    sWq, sbq, sWk, sbk, sWv, sbv, sWo, sbo = self_w
+    cWq, cbq, cWk, cbk, cWv, cbv, cWo, cbo = cross_w
+    out = [embed]
+    out += [
+        jnp.concatenate([sWq, sWk, sWv], axis=2),  # (L, d, 3d)
+        jnp.concatenate([sbq, sbk, sbv], axis=2),  # (L, 1, 3d)
+        sWo, sbo,
+        cWq, cbq,
+        jnp.concatenate([cWk, cWv], axis=2),  # (L, d, 2d)
+        jnp.concatenate([cbk, cbv], axis=2),
+        cWo, cbo,
+    ]
+    out += ln_w + ffn_w + final_w + w
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def make_transformer_kv_ring_pallas(
+    model_dim: int,
+    n_heads: int,
+    feedforward_dim: int,
+    num_layers: int,
+    rf: int,
+    q_levels: int,
+    n_head_dense: int,
+    min_temperature: float,
+    with_final_ln: bool,
+    B: int,
+    prior_t: int,
+    chunk: int,
+    argmax: bool,
+    interpret: bool = False,
+):
+    """Fused-kernel version of ``make_transformer_kv_ring_decoder``: the
+    whole O(1)-per-step KV-ring decode runs inside one Pallas kernel with
+    weights + rings resident in VMEM, ``chunk`` steps per call, state
+    carried across calls (the serving pattern of the chunked SampleRNN /
+    WaveNet kernels).
+
+    Why this exists: the pure-jax KV scan is dispatch-latency-bound at
+    ~195 µs/step regardless of batch (each step issues ~150 small HLO ops)
+    = 0.32x realtime per stream; the window-REFEED kernels are FLOPs-bound
+    at O(rf)/step, which no hardware serves at 16 kHz for the 8-layer net
+    (physics note in ``benchmarks/bench_decode.py``).  In-kernel, one step
+    is ~140 small VMEM-resident matmuls with zero inter-op overhead.
+
+    Layout: activations are REPLICATED to 8 rows per stream (rows 8s..8s+7
+    identical) so every tensor keeps >=8 sublanes — per-row ops preserve
+    the replication, and replication in/out of per-stream form is done
+    with selector matmuls (Mosaic rejects sub-8-row broadcasts/reshapes).
+    K/V rings are stream-major ``(L*B*rf, d)`` VMEM arrays (row
+    ``l*B*rf + s*rf + slot``), carried in -> out each call; attention over
+    all B streams batches as: replicate q over each stream's ring rows
+    (selector matmul), elementwise-multiply with the ring, head-sum via a
+    (d, nH) block selector, per-stream-per-head softmax (per-BLOCK max —
+    the JukeBox 0/0-NaN lesson), expand probs back over lanes via the
+    transposed selector, weight the V ring elementwise, and segment-sum
+    each stream's rf rows with one (8B, B*rf) selector matmul.
+
+    Semantics == the oracle decoder (argmax token-identical, pinned in
+    interpret mode); sampled draws use the TPU PRNG Gumbel path, an
+    independent stream from the oracle's ``jax.random.categorical``.
+
+    Returns ``fn(weights, prompt_T, seed, temp, t0, state) ->
+    (out_chunk_T (chunk, B) i32, new_state)`` with ``state = [tok (8, B)
+    i32, selfK, selfV, crossK, crossV (L*B*rf, d) f32]``; weights =
+    ``transformer_kv_weight_fuse(transformer_weight_pack(params))``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d = model_dim
+    nH = n_heads
+    dH = d // nH
+    L = num_layers
+    Q = q_levels
+    R8 = 8 * B
+    BR = B * rf
+    inv_sqrt_dh = 1.0 / float(np.sqrt(dH))
+    big_neg = float(np.finfo(np.float32).min)
+    # embed + fused self (4) + fused cross (6) + ln (6) + ffn (4)
+    n_weights = 1 + 4 + 6 + 6 + 4 + (2 if with_final_ln else 0) + 2 * n_head_dense
+    n_rings = 4
+
+    def kernel(t0_ref, temp_ref, seed_ref, prompt_ref, pe_ref, *refs):
+        w = list(refs[:n_weights])
+        state_in = refs[n_weights : n_weights + 1 + n_rings]
+        out_ref = refs[n_weights + 1 + n_rings]
+        tok_ref = refs[n_weights + 2 + n_rings]
+        rings = refs[n_weights + 3 + n_rings : n_weights + 3 + 2 * n_rings]
+
+        embed = w.pop(0)
+        sWqkv, sbqkv, sWo, sbo = (w.pop(0) for _ in range(4))
+        cWq, cbq, cWkv, cbkv, cWo, cbo = (w.pop(0) for _ in range(6))
+        ln_w = [w.pop(0) for _ in range(6)]
+        ffn_w = [w.pop(0) for _ in range(4)]
+        final_w = [w.pop(0), w.pop(0)] if with_final_ln else None
+        head = w
+
+        if not argmax:
+            pltpu.prng_seed(seed_ref[0])
+
+        tok_ref[:] = state_in[0][:]
+        for src, dst in zip(state_in[1:], rings):
+            dst[:] = src[:]
+        sK, sV, cK, cV = rings
+
+        t0 = t0_ref[0]
+
+        # static selector / mask tensors (built once, live across the loop)
+        f32 = jnp.float32
+        rq = jax.lax.broadcasted_iota(jnp.int32, (BR, R8), 0)
+        cq = jax.lax.broadcasted_iota(jnp.int32, (BR, R8), 1)
+        # replicate each stream's q row over its rf ring rows; the 1/8
+        # averages the 8 identical replicas and the score scale folds in
+        REPQ = (rq // rf == cq // 8).astype(f32) * (inv_sqrt_dh / 8.0)
+        rh = jax.lax.broadcasted_iota(jnp.int32, (d, nH), 0)
+        ch = jax.lax.broadcasted_iota(jnp.int32, (d, nH), 1)
+        SELH = (rh // dH == ch).astype(f32)  # head-block column selector
+        rhT = jax.lax.broadcasted_iota(jnp.int32, (nH, d), 0)
+        chT = jax.lax.broadcasted_iota(jnp.int32, (nH, d), 1)
+        SELHT = (rhT == chT // dH).astype(f32)
+        ro = jax.lax.broadcasted_iota(jnp.int32, (R8, BR), 0)
+        co = jax.lax.broadcasted_iota(jnp.int32, (R8, BR), 1)
+        OUTSEL = (ro // 8 == co // rf).astype(f32)  # segment-sum + replicate
+        rb = jax.lax.broadcasted_iota(jnp.int32, (R8, B), 0)
+        cb = jax.lax.broadcasted_iota(jnp.int32, (R8, B), 1)
+        REPB = (rb // 8 == cb).astype(f32)  # (B, x) rows -> (8B, x)
+        slotpos = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (BR, nH), 0), rf
+        )
+        qiota = jax.lax.broadcasted_iota(f32, (1, Q), 1)
+
+        def layer_norm(x, scale, bias):
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            mean2 = jnp.mean(x * x, axis=-1, keepdims=True)
+            var = jnp.maximum(0.0, mean2 - mean * mean)
+            return (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+        def mish(v):
+            return v * jnp.tanh(jax.nn.softplus(v))
+
+        def attend(q, Kbase, Vbase, l, vcount):
+            # q (8B, d) replicated rows; rings row-sliced at layer l
+            Kl = Kbase[pl.ds(l * BR, BR), :]  # (B*rf, d)
+            Vl = Vbase[pl.ds(l * BR, BR), :]
+            Qrep = jnp.dot(REPQ, q, preferred_element_type=f32)  # (B*rf, d)
+            S = jnp.dot(Kl * Qrep, SELH, preferred_element_type=f32)
+            S = jnp.where(slotpos < vcount, S, big_neg)  # (B*rf, nH)
+            # per-stream-per-head max (a global max can underflow a weak
+            # stream's whole block to 0/0); broadcast back by add-zeros
+            zero_blk = jnp.zeros((rf, nH), f32)
+            Mexp = jnp.concatenate(
+                [
+                    jnp.max(
+                        S[s * rf : (s + 1) * rf, :], axis=0, keepdims=True
+                    )
+                    + zero_blk
+                    for s in range(B)
+                ],
+                axis=0,
+            )
+            E = jnp.exp(S - Mexp)
+            Zexp = jnp.concatenate(
+                [
+                    jnp.sum(
+                        E[s * rf : (s + 1) * rf, :], axis=0, keepdims=True
+                    )
+                    + zero_blk
+                    for s in range(B)
+                ],
+                axis=0,
+            )
+            P = E / Zexp
+            Pd = jnp.dot(P, SELHT, preferred_element_type=f32)  # (B*rf, d)
+            return jnp.dot(OUTSEL, Vl * Pd, preferred_element_type=f32)
+
+        def ring_write(ref, l, slot, rows):
+            # rows (8B, d): store each stream's (replicated) row at its slot
+            for s in range(B):
+                ref[pl.ds(l * BR + s * rf + slot, 1), :] = rows[
+                    8 * s : 8 * s + 1, :
+                ]
+
+        def body(i, _):
+            t = t0 + i
+            s_pos = t - 1  # position pushed this iteration
+            slot = jax.lax.rem(s_pos, rf)
+            vcount = jnp.minimum(t, rf)
+
+            prev_gen = out_ref[pl.ds(jnp.maximum(i - 1, 0), 1), :]
+            carried = tok_ref[pl.ds(0, 1), :]
+            prev = jnp.where(i >= 1, prev_gen, carried)  # (1, B)
+            tokp = prompt_ref[pl.ds(jnp.minimum(s_pos, prior_t - 1), 1), :]
+            tok = jnp.where(s_pos < prior_t, tokp, prev)  # (1, B) i32
+
+            tokcol = tok.reshape(B, 1).astype(f32)
+            tok8 = jnp.dot(REPB, tokcol, preferred_element_type=f32)
+            oh = (tok8 == qiota).astype(f32)  # (8B, Q)
+            x0 = jnp.dot(oh, embed[:], preferred_element_type=f32)
+            x0 = x0 + pe_ref[pl.ds(i, 1), :]
+            x = x0
+            for l in range(L):
+                qkv = (
+                    jnp.dot(x, sWqkv[l], preferred_element_type=f32)
+                    + sbqkv[l]
+                )  # (8B, 3d)
+                ring_write(sK, l, slot, qkv[:, d : 2 * d])
+                ring_write(sV, l, slot, qkv[:, 2 * d :])
+                a = attend(qkv[:, :d], sK, sV, l, vcount)
+                x = layer_norm(
+                    x + jnp.dot(a, sWo[l], preferred_element_type=f32)
+                    + sbo[l],
+                    ln_w[0][l],
+                    ln_w[1][l],
+                )
+                kvx = (
+                    jnp.dot(x0, cWkv[l], preferred_element_type=f32)
+                    + cbkv[l]
+                )  # (8B, 2d)
+                ring_write(cK, l, slot, kvx[:, :d])
+                ring_write(cV, l, slot, kvx[:, d:])
+                q = jnp.dot(x, cWq[l], preferred_element_type=f32) + cbq[l]
+                a = attend(q, cK, cV, l, vcount)
+                x = layer_norm(
+                    x + jnp.dot(a, cWo[l], preferred_element_type=f32)
+                    + cbo[l],
+                    ln_w[2][l],
+                    ln_w[3][l],
+                )
+                h = (
+                    jnp.dot(x, ffn_w[0][l], preferred_element_type=f32)
+                    + ffn_w[1][l]
+                )
+                h = jnp.maximum(h, 0.0)
+                x = layer_norm(
+                    x + jnp.dot(h, ffn_w[2][l], preferred_element_type=f32)
+                    + ffn_w[3][l],
+                    ln_w[4][l],
+                    ln_w[5][l],
+                )
+            if with_final_ln:
+                x = layer_norm(x, final_w[0][:], final_w[1][:])
+
+            last = (
+                x[0:1, :]
+                if B == 1
+                else jnp.concatenate(
+                    [x[8 * s : 8 * s + 1, :] for s in range(B)], axis=0
+                )
+            )  # (B, d)
+            hh = last
+            for kk in range(n_head_dense - 1):
+                hh = mish(
+                    jnp.dot(
+                        hh, head[2 * kk][:], preferred_element_type=f32
+                    )
+                    + head[2 * kk + 1][:]
+                )
+            logits = (
+                jnp.dot(hh, head[-2][:], preferred_element_type=f32)
+                + head[-1][:]
+            )  # (B, Q + 1)
+            l_temp = jax.nn.sigmoid(logits[:, Q : Q + 1])
+            logits = logits[:, :Q] / jnp.maximum(l_temp, min_temperature)
+
+            if argmax:
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                logits = logits / temp_ref[0, 0]
+                bits = pltpu.prng_random_bits((B, Q))
+                b24 = pltpu.bitcast(
+                    pltpu.bitcast(bits, jnp.uint32) >> 8, jnp.int32
+                )
+                u = b24.astype(f32) * (1.0 / (1 << 24)) + 1e-12
+                nxt = jnp.argmax(
+                    logits + (-jnp.log(-jnp.log(u))), axis=-1
+                ).astype(jnp.int32)
+
+            tok_t = jnp.where(
+                t < prior_t,
+                prompt_ref[pl.ds(jnp.minimum(t, prior_t - 1), 1), :][0],
+                nxt,
+            )
+            out_ref[pl.ds(i, 1), :] = tok_t[None, :]
+            return 0
+
+        jax.lax.fori_loop(0, chunk, body, 0, unroll=False)
+
+        last = out_ref[pl.ds(chunk - 1, 1), :]
+        tok_ref[:] = jnp.broadcast_to(last, (8, B))
+
+    state_shapes = [jax.ShapeDtypeStruct((8, B), jnp.int32)] + [
+        jax.ShapeDtypeStruct((L * BR, d), jnp.float32) for _ in range(n_rings)
+    ]
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((chunk, B), jnp.int32)]
+        + state_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # t0 (1,)
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # temperature
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # prompt (prior_t, B)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # PE chunk (chunk, d)
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_weights)],
+            *[
+                pl.BlockSpec(memory_space=pltpu.VMEM)
+                for _ in range(1 + n_rings)
+            ],
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM)
+            for _ in range(2 + n_rings)
+        ],
+        interpret=interpret,
+    )
+
+    # analytic absolute PE rows for the chunk's pushed positions
+    div_term = np.exp(
+        np.arange(0, d, 2).astype(np.float32) * (-np.log(10000.0) / d)
+    )
+
+    def pe_chunk(t0):
+        p = (t0 - 1 + jnp.arange(chunk)).astype(jnp.float32)
+        ang = p[:, None] * jnp.asarray(div_term)[None, :]
+        pe = jnp.zeros((chunk, d), jnp.float32)
+        pe = pe.at[:, 0::2].set(jnp.sin(ang))
+        return pe.at[:, 1::2].set(jnp.cos(ang)[:, : d // 2])
+
+    def fn(weights, prompt_T, seed, temp, t0, state):
+        t0 = jnp.asarray(t0, jnp.int32)
+        outs = call(
+            t0.reshape(1),
+            jnp.asarray(temp, jnp.float32).reshape(1, 1),
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            prompt_T.astype(jnp.int32),
+            pe_chunk(t0),
+            *weights,
+            *state,
+        )
+        return outs[0], list(outs[1:])
+
+    def init_state():
+        return [jnp.zeros(s.shape, s.dtype) for s in state_shapes]
 
     fn.init_state = init_state
     return fn

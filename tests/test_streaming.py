@@ -392,3 +392,51 @@ def test_jukebox_stream_falls_back_exactly_on_kernel_failure(monkeypatch):
         jb.generate((prompt,), n_steps=n_chunks * chunk, temperature=None)[0]
     )[:, W:]
     np.testing.assert_array_equal(streamed, long)
+
+
+@pytest.mark.parametrize("B", [1, 2])
+def test_transformer_kv_fused_kernel_matches_oracle(monkeypatch, B):
+    """The fused KV-ring Pallas kernel (interpret mode on CPU) is
+    token-identical to the pure-jax KV-ring scan under argmax, at two
+    chunk sizes (the carried ring state is exact across kernel calls)."""
+    import jax
+
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=io, model_dim=128, n_heads=4, feedforward_dim=64,
+            num_layers=2, rf=16, input_dropout=0.0,
+        )
+    )
+    net.seed(0)
+    rf = 16
+    prompt = np.random.RandomState(3).randint(
+        0, 32, (B, rf)
+    ).astype(np.int32)
+    net.init_params(batch_size=B, batch_length=rf)
+
+    monkeypatch.setenv("MMK_DECODE_KV", "1")
+    rng = jax.random.PRNGKey(5)
+
+    # 10 x 7 = 70 tokens > C=64 -> the SECOND kernel call runs too, so
+    # the ring state carried across kernel calls is exercised
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    assert not net._use_pallas_kv(B, True)
+    s0 = net.stream((prompt,), 7, temperature=None, rng=rng)
+    ref = np.concatenate([next(s0) for _ in range(10)], axis=1)
+
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "1")
+    assert net._use_pallas_kv(B, True)
+    s1 = net.stream((prompt,), 7, temperature=None, rng=rng)
+    got = np.concatenate([next(s1) for _ in range(10)], axis=1)
+    np.testing.assert_array_equal(got, ref)
+
+    # chunk-size invariance of the fused stream
+    s2 = net.stream((prompt,), 9, temperature=None, rng=rng)
+    got9 = np.concatenate([next(s2) for _ in range(2)], axis=1)
+    n = min(got.shape[1], got9.shape[1])
+    np.testing.assert_array_equal(got9[:, :n], got[:, :n])
