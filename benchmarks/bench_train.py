@@ -44,6 +44,36 @@ fused-LSTM launches (4 directions x fwd+bwd, each re-reading its
 weights) plus the 32-row matmuls' tile under-fill — both set by the
 reference's model shape (hop=8, B=32), not by the implementation.
 Throughput scales with batch until the weight reads amortize.
+
+Transformer8l roofline (v5e, B=8, T=512, d=256, nH=8, ff=1024, L=8 —
+VERDICT r3 weak #2)
+------------------------------------------------------------------
+XLA counts 319 GFLOP/step -> 3.04 ms floor at the 105 TFLOPS calibrated
+f32 ceiling; measured f32 12.29 ms (24.7%).  Probe anatomy (r4,
+fwd/fwd+bwd jits of the same step): fwd 2.20 ms (~106 GFLOP -> 48
+TFLOPS, 46% calibrated — the forward is fine), bwd 9.2 ms = 4.2x fwd
+where the matmul ratio says 2x.  The excess is the attention backward's
+O(T^2) HBM traffic: each layer's (B*nH, T, T) softmax tensor is 67 MB
+f32, stored forward and re-read/written ~4x in bwd (dV/dP/dQ/dK) ->
+~2.1 GB/step across 8 layers ~= 2.7 ms at this chip's ~800 GB/s class
+bandwidth, on top of bwd's 2 ms matmul floor.  A Pallas flash-attention
+probe LOST to XLA's naive path at these sizes (fwd+bwd 5.42 vs 3.57 ms
+at T=1024 — the T^2 tiles still schedule well), so the shipped lever is
+true-bf16: 5.81 ms/step (2.1x, halves both the MXU passes and the T^2
+bytes; 52% calibrated-f32-equivalent) — `transformer8l_bf16` in
+BENCH_train.json.
+
+WaveNet10 roofline (v5e, B=8, T=4096, D=128, gates 2D=256, 10 layers)
+------------------------------------------------------------------
+XLA counts 238 GFLOP/step -> 2.27 ms matmul floor, but the step is
+HBM-bound, not MXU-bound: per layer the fwd writes x (16.8 MB), gates
+fg (33.6 MB), y and the skip accumulation (16.8 each) — ~84 MB of
+(B*T, D..2D) activations per layer, stored for bwd, re-read with grads
+written back -> ~2.5-3 GB/step ~= 3.1-3.8 ms of traffic at ~800 GB/s,
+which the measured f32 6.4 ms sits 1.8x above (fusion/layout slack,
+same class as SampleRNN's).  bf16 halves exactly the binding resource:
+measured 3.2 ms/step (2.0x, `wavenet10_bf16`) — the halved-traffic
+prediction on the nose, confirming the bandwidth diagnosis.
 """
 import json
 import sys
