@@ -1794,7 +1794,7 @@ def make_transformer_kv_ring_pallas(
         slotpos = jax.lax.rem(
             jax.lax.broadcasted_iota(jnp.int32, (BR, nH), 0), rf
         )
-        qiota = jax.lax.broadcasted_iota(f32, (1, Q), 1)
+        qiota = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1).astype(f32)
 
         def layer_norm(x, scale, bias):
             mean = jnp.mean(x, axis=-1, keepdims=True)
