@@ -478,9 +478,12 @@ def bench_loop_level():
     loop.on_train_epoch_end = lambda *a: times.append(time.perf_counter())
     t0 = time.perf_counter()
     loop.run()
-    deltas = [b - a for a, b in zip([t0] + times[:-1], times)]
-    steady = deltas[2:]  # first epochs include compiles
-    per = sum(steady) / len(steady) / per_epoch
+    t_end = time.perf_counter()
+    # steady state = host lap from the end of epoch 2 (epochs 1-2 pay the
+    # compiles) through run()'s return, which is DRAIN-INCLUSIVE: the final
+    # epoch's metrics read waits for every queued step, so a host loop that
+    # runs ahead of the device (async metric copies) cannot understate
+    per = (t_end - times[1]) / ((len(times) - 2) * per_epoch)
     samples_per_sec = batch_size * batch_length / per
     entry = {
         "metric": "samplernn3_train_loop_samples_per_sec",

@@ -705,6 +705,15 @@ class TrainARMLoop:
                     # of the print/log shifts by one epoch.
                     self._flush_pending_metrics()
                     if metric_sums is not None:
+                        # start moving the sums host-side NOW: the async
+                        # copy lands once this epoch's queue drains, so next
+                        # epoch's device_get finds the value already local
+                        # instead of paying a fresh ~35 ms tunnel round trip
+                        for v in jax.tree_util.tree_leaves(metric_sums):
+                            try:
+                                v.copy_to_host_async()
+                            except Exception:  # backend-dependent; optional
+                                break
                         self._pending_metrics = (
                             epoch, metric_sums, n_batches
                         )
