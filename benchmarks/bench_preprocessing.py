@@ -116,10 +116,25 @@ def main():
         create(1, "warm.h5")
         t_serial = create(1, "ser.h5")
         t_par = create(2, "par.h5")
+        # write-overlap A/B (VERDICT r3 "cheaper win that IS measurable
+        # here"): extractor N's h5 write on a thread while N+1 extracts
+        os.environ["MMK_WRITE_OVERLAP"] = "0"
+        t_nooverlap = create(1, "no_ovl.h5")
+        os.environ.pop("MMK_WRITE_OVERLAP", None)
     finally:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+    entries.append(
+        {
+            "metric": "preproc_corpus_create_write_overlap_speedup",
+            "value": round(t_nooverlap / t_serial, 2),
+            "unit": "x_inline_writes",
+            "vs_baseline": round(t_nooverlap / t_serial, 2),
+            "overlap_s": round(t_serial, 2),
+            "inline_s": round(t_nooverlap, 2),
+        }
+    )
     entries.append(
         {
             "metric": "preproc_corpus_create_speedup_2workers",

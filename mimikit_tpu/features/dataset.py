@@ -105,6 +105,25 @@ class DatasetConfig(Config, type_field=False):
         # topologically simple: non-derived extractors first
         ordered = sorted(self.extractors, key=lambda e: e.derived_from is not None)
         per_source: dict = {}
+        # one writer thread overlaps extractor N's h5 write with extractor
+        # N+1's (numpy/pool) extraction — derived extractors consume the
+        # host-side per_source dict, never the h5 file, so the only
+        # ordering constraint is write-before-next-write (the single
+        # worker serializes that).  Byte-identical to the fully serial
+        # path: same arrays, same h5 insertion order.
+        # MMK_WRITE_OVERLAP=0 forces in-line writes (bench A/B toggle).
+        from concurrent.futures import ThreadPoolExecutor
+
+        overlap = os.environ.get("MMK_WRITE_OVERLAP", "1") != "0"
+        writer = ThreadPoolExecutor(max_workers=1)
+        pending_write = None
+
+        def _commit(extractor, data, refs):
+            db.add_array(extractor.name, data, refs=refs)
+            extractor.after_create(db, extractor.name)
+            # expose attrs on the extractor (class_size property)
+            extractor.attrs = dict(db.h5f[extractor.name].attrs)
+
         try:
             for extractor in ordered:
                 inputs = [
@@ -146,11 +165,27 @@ class DatasetConfig(Config, type_field=False):
                     refs.append((pos, pos + out.shape[0]))
                     pos += out.shape[0]
                 data = np.concatenate(outs, axis=0) if outs else np.zeros((0,))
-                db.add_array(extractor.name, data, refs=refs)
-                extractor.after_create(db, extractor.name)
-                # expose attrs on the extractor (class_size property)
-                extractor.attrs = dict(db.h5f[extractor.name].attrs)
+                if pending_write is not None:
+                    pending_write.result()  # surface write errors in order
+                    pending_write = None
+                if overlap:
+                    pending_write = writer.submit(
+                        _commit, extractor, data, refs
+                    )
+                else:
+                    _commit(extractor, data, refs)
+            if pending_write is not None:
+                pending_write.result()
+                pending_write = None
         finally:
+            if pending_write is not None:
+                # an extraction error is in flight — don't mask it, but
+                # don't leave the write dangling either
+                try:
+                    pending_write.result()
+                except Exception:
+                    pass
+            writer.shutdown()
             if pool is not None:
                 pool.shutdown()
         db.attrs["config"] = self.serialize()
