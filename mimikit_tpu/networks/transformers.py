@@ -9,6 +9,7 @@ sequence + FFN — batch-first throughout (no permutes; XLA prefers it).
 from __future__ import annotations
 
 import dataclasses as dtc
+import functools
 import os
 from typing import List, Optional, Tuple
 
@@ -553,11 +554,12 @@ class SimpleTransformer(_StatefulTransformerARM):
 
     def _use_pallas_kv(self, B: int, argmax: bool) -> bool:
         """Gate for the FUSED KV-ring stream kernel
-        (``ops/pallas_decode.make_transformer_kv_ring_pallas``).  The four
-        f32 rings are carried kernel outputs, so they live in scoped VMEM
-        (16 MiB on v5e) — that bounds ``B`` (B<=5 for the 8L/d256/rf64
-        bench net); wider KV batches fall back to the pure-jax ring scan,
-        which is latency-bound but batch-flat."""
+        (``ops/pallas_decode.make_transformer_kv_ring_pallas``).  The
+        merged (L*B*rf, 4d) f32 K/V ring is aliased in -> out (in-place
+        state), so it sits in regular VMEM with the weights, not in the
+        16 MiB scoped window — the bound is the 128 MiB VMEM total (B<=48
+        for the 8L/d256/rf64 bench net); wider KV batches fall back to
+        the pure-jax ring scan, which is latency-bound but batch-flat."""
         import os
 
         flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
@@ -576,13 +578,11 @@ class SimpleTransformer(_StatefulTransformerARM):
             # interpret mode has no TPU PRNG — argmax only, forced (tests)
             return False
         ring_bytes = 4 * 4 * c.num_layers * B * self.rf * c.model_dim
-        if ring_bytes > 12 * 2**20:
-            return False
         w_bytes = 4 * sum(
             int(np.prod(l.shape))
             for l in jax.tree_util.tree_leaves(self.params)
         )
-        return w_bytes + 2 * ring_bytes < 100 * 2**20
+        return w_bytes + ring_bytes < 100 * 2**20
 
     def _pallas_generate(self, prompts, n_steps, temperature, rng):
         from ..ops.pallas_decode import (
@@ -741,7 +741,10 @@ class SimpleTransformer(_StatefulTransformerARM):
                     interpret=jax.default_backend() == "cpu",
                 )
 
-                @jax.jit
+                # state is donated: the kernel aliases tok/ring in -> out
+                # (in-place ring), so without donation XLA would insert a
+                # defensive whole-ring copy at the jit boundary each chunk
+                @functools.partial(jax.jit, donate_argnums=(5,))
                 def run(params, prompt_T, rng, temp, t0, state):
                     w = transformer_kv_weight_fuse(
                         transformer_weight_pack(params, L, fln), L, fln

@@ -1653,9 +1653,12 @@ def make_transformer_kv_ring_decoder(
 
 def transformer_kv_weight_fuse(weights, num_layers: int, with_final_ln: bool):
     """Re-pack ``transformer_weight_pack`` output for the fused KV kernel:
-    self q/k/v kernels concatenate to one (L, d, 3d) matmul, cross k/v to
-    (L, d, 2d) — one MXU pass instead of three per projection set.  Pure
-    jnp (runs under the caller's jit, once per trace)."""
+    self q/k/v kernels concatenate to one (L, d, 3d) matmul, and ALL
+    layers' cross k/v kernels concatenate to one (d, 2*L*d) matmul — the
+    cross K/V of every layer project the same PE'd input x0, so the kernel
+    hoists them into a single MXU pass per step.  Pure jnp (runs under the
+    caller's jit, once per trace)."""
+    L = num_layers
     w = list(weights)
     embed = w.pop(0)
     self_w = [w.pop(0) for _ in range(8)]
@@ -1665,14 +1668,21 @@ def transformer_kv_weight_fuse(weights, num_layers: int, with_final_ln: bool):
     final_w = [w.pop(0), w.pop(0)] if with_final_ln else []
     sWq, sbq, sWk, sbk, sWv, sbv, sWo, sbo = self_w
     cWq, cbq, cWk, cbk, cWv, cbv, cWo, cbo = cross_w
+    # (L, d, d) x2 -> (d, 2*L*d) with per-layer [k|v] lane blocks
+    cWkv_all = jnp.concatenate(
+        [jnp.concatenate([cWk[l], cWv[l]], axis=1) for l in range(L)], axis=1
+    )
+    cbkv_all = jnp.concatenate(
+        [jnp.concatenate([cbk[l], cbv[l]], axis=1) for l in range(L)], axis=1
+    )
     out = [embed]
     out += [
         jnp.concatenate([sWq, sWk, sWv], axis=2),  # (L, d, 3d)
         jnp.concatenate([sbq, sbk, sbv], axis=2),  # (L, 1, 3d)
         sWo, sbo,
         cWq, cbq,
-        jnp.concatenate([cWk, cWv], axis=2),  # (L, d, 2d)
-        jnp.concatenate([cbk, cbv], axis=2),
+        cWkv_all,  # (d, 2*L*d)
+        cbkv_all,  # (1, 2*L*d)
         cWo, cbo,
     ]
     out += ln_w + ffn_w + final_w + w
@@ -1713,13 +1723,17 @@ def make_transformer_kv_ring_pallas(
     identical) so every tensor keeps >=8 sublanes — per-row ops preserve
     the replication, and replication in/out of per-stream form is done
     with selector matmuls (Mosaic rejects sub-8-row broadcasts/reshapes).
-    K/V rings are stream-major ``(L*B*rf, d)`` VMEM arrays (row
-    ``l*B*rf + s*rf + slot``), carried in -> out each call; attention over
-    all B streams batches as: replicate q over each stream's ring rows
-    (selector matmul), elementwise-multiply with the ring, head-sum via a
-    (d, nH) block selector, per-stream-per-head softmax (per-BLOCK max —
-    the JukeBox 0/0-NaN lesson), expand probs back over lanes via the
-    transposed selector, weight the V ring elementwise, and segment-sum
+    All four K/V rings merge into ONE stream-major ``(L*B*rf, 4d)`` VMEM
+    array (row ``l*B*rf + s*rf + slot``, lanes ``[selfK|selfV|crossK|
+    crossV]``) carried in -> out each call — a step then issues ONE ring
+    row write per (layer, stream) instead of four, and every layer's
+    cross K/V (all projections of the same PE'd x0) hoist into a single
+    (8B, 2*L*d) matmul per step.  Attention over all B streams batches
+    as: replicate q over each stream's ring rows (selector matmul),
+    elementwise-multiply with the ring's K lanes, head-sum via a (d, nH)
+    block selector, per-stream-per-head softmax (per-BLOCK max — the
+    JukeBox 0/0-NaN lesson), expand probs back over lanes via the
+    transposed selector, weight the V lanes elementwise, and segment-sum
     each stream's rf rows with one (8B, B*rf) selector matmul.
 
     Semantics == the oracle decoder (argmax token-identical, pinned in
@@ -1728,7 +1742,7 @@ def make_transformer_kv_ring_pallas(
 
     Returns ``fn(weights, prompt_T, seed, temp, t0, state) ->
     (out_chunk_T (chunk, B) i32, new_state)`` with ``state = [tok (8, B)
-    i32, selfK, selfV, crossK, crossV (L*B*rf, d) f32]``; weights =
+    i32, ring (L*B*rf, 4d) f32]``; weights =
     ``transformer_kv_weight_fuse(transformer_weight_pack(params))``.
     """
     from jax.experimental import pallas as pl
@@ -1745,14 +1759,14 @@ def make_transformer_kv_ring_pallas(
     big_neg = float(np.finfo(np.float32).min)
     # embed + fused self (4) + fused cross (6) + ln (6) + ffn (4)
     n_weights = 1 + 4 + 6 + 6 + 4 + (2 if with_final_ln else 0) + 2 * n_head_dense
-    n_rings = 4
+    n_rings = 1
 
     def kernel(t0_ref, temp_ref, seed_ref, prompt_ref, pe_ref, *refs):
         w = list(refs[:n_weights])
         state_in = refs[n_weights : n_weights + 1 + n_rings]
         out_ref = refs[n_weights + 1 + n_rings]
         tok_ref = refs[n_weights + 2 + n_rings]
-        rings = refs[n_weights + 3 + n_rings : n_weights + 3 + 2 * n_rings]
+        ring = refs[n_weights + 3 + n_rings]
 
         embed = w.pop(0)
         sWqkv, sbqkv, sWo, sbo = (w.pop(0) for _ in range(4))
@@ -1765,10 +1779,11 @@ def make_transformer_kv_ring_pallas(
         if not argmax:
             pltpu.prng_seed(seed_ref[0])
 
-        tok_ref[:] = state_in[0][:]
-        for src, dst in zip(state_in[1:], rings):
-            dst[:] = src[:]
-        sK, sV, cK, cV = rings
+        # tok/ring inputs are aliased onto the outputs (in-place state):
+        # the refs already hold the carried state — no entry copy.  The
+        # old whole-ring copy materialized an (L*B*rf, 4d) stack
+        # temporary that blew the 16 MiB scoped-VMEM limit at B>=4.
+        del state_in
 
         t0 = t0_ref[0]
 
@@ -1805,10 +1820,11 @@ def make_transformer_kv_ring_pallas(
         def mish(v):
             return v * jnp.tanh(jax.nn.softplus(v))
 
-        def attend(q, Kbase, Vbase, l, vcount):
-            # q (8B, d) replicated rows; rings row-sliced at layer l
-            Kl = Kbase[pl.ds(l * BR, BR), :]  # (B*rf, d)
-            Vl = Vbase[pl.ds(l * BR, BR), :]
+        def attend(q, k_off, l, vcount):
+            # q (8B, d) replicated rows; the merged ring row-sliced at
+            # layer l, K/V lane blocks at k_off / k_off + d
+            Kl = ring[pl.ds(l * BR, BR), pl.ds(k_off, d)]  # (B*rf, d)
+            Vl = ring[pl.ds(l * BR, BR), pl.ds(k_off + d, d)]
             Qrep = jnp.dot(REPQ, q, preferred_element_type=f32)  # (B*rf, d)
             S = jnp.dot(Kl * Qrep, SELH, preferred_element_type=f32)
             S = jnp.where(slotpos < vcount, S, big_neg)  # (B*rf, nH)
@@ -1840,10 +1856,11 @@ def make_transformer_kv_ring_pallas(
             Pd = jnp.dot(P, SELHT, preferred_element_type=f32)  # (B*rf, d)
             return jnp.dot(OUTSEL, Vl * Pd, preferred_element_type=f32)
 
-        def ring_write(ref, l, slot, rows):
-            # rows (8B, d): store each stream's (replicated) row at its slot
+        def ring_write(l, slot, rows):
+            # rows (8B, 4d) [selfK|selfV|crossK|crossV]: store each
+            # stream's (replicated) row at its slot — ONE write per stream
             for s in range(B):
-                ref[pl.ds(l * BR + s * rf + slot, 1), :] = rows[
+                ring[pl.ds(l * BR + s * rf + slot, 1), :] = rows[
                     8 * s : 8 * s + 1, :
                 ]
 
@@ -1864,29 +1881,36 @@ def make_transformer_kv_ring_pallas(
             oh = (tok8 == qiota).astype(f32)  # (8B, Q)
             x0 = jnp.dot(oh, embed[:], preferred_element_type=f32)
             x0 = x0 + pe_ref[pl.ds(i, 1), :]
+            # every layer's cross K/V project the same x0: ONE matmul,
+            # per-layer [k|v] lane blocks (8B, 2*L*d)
+            ckv_all = (
+                jnp.dot(x0, cWkv[:], preferred_element_type=f32) + cbkv[:]
+            )
             x = x0
             for l in range(L):
                 qkv = (
                     jnp.dot(x, sWqkv[l], preferred_element_type=f32)
                     + sbqkv[l]
                 )  # (8B, 3d)
-                ring_write(sK, l, slot, qkv[:, d : 2 * d])
-                ring_write(sV, l, slot, qkv[:, 2 * d :])
-                a = attend(qkv[:, :d], sK, sV, l, vcount)
+                ring_write(
+                    l, slot,
+                    jnp.concatenate(
+                        [
+                            qkv[:, d:],  # selfK|selfV
+                            ckv_all[:, 2 * l * d : 2 * (l + 1) * d],
+                        ],
+                        axis=1,
+                    ),
+                )
+                a = attend(qkv[:, :d], 0, l, vcount)
                 x = layer_norm(
                     x + jnp.dot(a, sWo[l], preferred_element_type=f32)
                     + sbo[l],
                     ln_w[0][l],
                     ln_w[1][l],
                 )
-                kvx = (
-                    jnp.dot(x0, cWkv[l], preferred_element_type=f32)
-                    + cbkv[l]
-                )  # (8B, 2d)
-                ring_write(cK, l, slot, kvx[:, :d])
-                ring_write(cV, l, slot, kvx[:, d:])
                 q = jnp.dot(x, cWq[l], preferred_element_type=f32) + cbq[l]
-                a = attend(q, cK, cV, l, vcount)
+                a = attend(q, 2 * d, l, vcount)
                 x = layer_norm(
                     x + jnp.dot(a, cWo[l], preferred_element_type=f32)
                     + cbo[l],
@@ -1955,8 +1979,9 @@ def make_transformer_kv_ring_pallas(
         last = out_ref[pl.ds(chunk - 1, 1), :]
         tok_ref[:] = jnp.broadcast_to(last, (8, B))
 
-    state_shapes = [jax.ShapeDtypeStruct((8, B), jnp.int32)] + [
-        jax.ShapeDtypeStruct((L * BR, d), jnp.float32) for _ in range(n_rings)
+    state_shapes = [
+        jax.ShapeDtypeStruct((8, B), jnp.int32),
+        jax.ShapeDtypeStruct((L * BR, 4 * d), jnp.float32),
     ]
 
     call = pl.pallas_call(
@@ -1979,6 +2004,14 @@ def make_transformer_kv_ring_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM)
             for _ in range(2 + n_rings)
         ],
+        # carry tok/ring in place: inputs (t0, temp, seed, prompt, pe,
+        # weights..., tok, ring) -> outputs (out, tok, ring).  Aliasing
+        # keeps the ring out of the scoped-VMEM stack (16 MiB on v5e),
+        # which bounded the old copy-through version at B<=3.
+        input_output_aliases={
+            5 + n_weights: 1,
+            5 + n_weights + 1: 2,
+        },
         interpret=interpret,
     )
 
