@@ -9,7 +9,6 @@ sequence + FFN — batch-first throughout (no permutes; XLA prefers it).
 from __future__ import annotations
 
 import dataclasses as dtc
-import functools
 import os
 from typing import List, Optional, Tuple
 
@@ -741,10 +740,16 @@ class SimpleTransformer(_StatefulTransformerARM):
                     interpret=jax.default_backend() == "cpu",
                 )
 
-                # state is donated: the kernel aliases tok/ring in -> out
-                # (in-place ring), so without donation XLA would insert a
-                # defensive whole-ring copy at the jit boundary each chunk
-                @functools.partial(jax.jit, donate_argnums=(5,))
+                # NO donate_argnums here: donating the state on top of
+                # the kernel's input_output_aliases makes the AOT TPU
+                # compile fail (probed on v5e — the jit-boundary donation
+                # and the custom-call aliasing fight over the buffer).
+                # Without donation XLA inserts one defensive ring copy
+                # per chunk call (~8 MB at B=4, ~20 us — negligible
+                # against a 1600-step chunk); the aliasing still keeps
+                # the ring out of the 16 MiB scoped-VMEM window, which
+                # is what bounds B.
+                @jax.jit
                 def run(params, prompt_T, rng, temp, t0, state):
                     w = transformer_kv_weight_fuse(
                         transformer_weight_pack(params, L, fln), L, fln
@@ -788,11 +793,12 @@ class SimpleTransformer(_StatefulTransformerARM):
                         jnp.asarray(t_abs, jnp.int32), state,
                     )
                     np.asarray(out_T)  # surface deferred kernel failures
-                except Exception:  # pragma: no cover - hardware-dependent
+                except Exception as e:  # pragma: no cover - hw-dependent
                     import warnings
 
                     warnings.warn(
-                        "fused KV-ring kernel failed to compile/run; "
+                        "fused KV-ring kernel failed to compile/run "
+                        f"({type(e).__name__}: {str(e)[:500]}); "
                         "falling back to the pure-jax KV scan",
                         RuntimeWarning,
                     )
