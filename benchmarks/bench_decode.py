@@ -293,6 +293,10 @@ def main():
             "vs_baseline": round(0.1 / per_chunk, 2),
             "x_realtime_per_stream": round(0.1 / per_chunk, 2),
         }
+        if "_kv_" in name:
+            # a degraded kernel silently rides the pure-jax ring scan —
+            # record whether the fused kernel really served this entry
+            entry["pallas"] = not getattr(net, "_pallas_kv_disabled", False)
         results.append(entry)
         print(json.dumps(entry))
 
