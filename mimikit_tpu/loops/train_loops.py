@@ -705,15 +705,23 @@ class TrainARMLoop:
                     # of the print/log shifts by one epoch.
                     self._flush_pending_metrics()
                     if metric_sums is not None:
-                        # start moving the sums host-side NOW: the async
-                        # copy lands once this epoch's queue drains, so next
-                        # epoch's device_get finds the value already local
-                        # instead of paying a fresh ~35 ms tunnel round trip
-                        for v in jax.tree_util.tree_leaves(metric_sums):
-                            try:
-                                v.copy_to_host_async()
-                            except Exception:  # backend-dependent; optional
-                                break
+                        # MMK_ASYNC_METRIC_COPY=1 starts moving the sums
+                        # host-side now so next epoch's device_get finds
+                        # them local.  DEFAULT OFF: measured drain-
+                        # inclusive on the v5e tunnel, each copy RPC
+                        # serializes against the dispatch queue and COSTS
+                        # 0.57 ms/step (2.53 vs 1.96 at 256-step epochs,
+                        # probe_loop_decomp r4); the deferred device_get it
+                        # tries to hide is only ~24 ms/epoch.  May help on
+                        # direct-attached backends — hence the knob.
+                        if os.environ.get(
+                            "MMK_ASYNC_METRIC_COPY", "0"
+                        ) == "1":
+                            for v in jax.tree_util.tree_leaves(metric_sums):
+                                try:
+                                    v.copy_to_host_async()
+                                except Exception:  # backend-dependent
+                                    break
                         self._pending_metrics = (
                             epoch, metric_sums, n_batches
                         )

@@ -1767,6 +1767,7 @@ def make_transformer_kv_ring_pallas(
         out_ref = refs[n_weights + 1 + n_rings]
         tok_ref = refs[n_weights + 2 + n_rings]
         ring = refs[n_weights + 3 + n_rings]
+        ckv_scr = refs[n_weights + 4 + n_rings]  # (L, 8B, 2d) scratch
 
         embed = w.pop(0)
         sWqkv, sbqkv, sWo, sbo = (w.pop(0) for _ in range(4))
@@ -1882,52 +1883,68 @@ def make_transformer_kv_ring_pallas(
             x0 = jnp.dot(oh, embed[:], preferred_element_type=f32)
             x0 = x0 + pe_ref[pl.ds(i, 1), :]
             # every layer's cross K/V project the same x0: ONE matmul,
-            # per-layer [k|v] lane blocks (8B, 2*L*d)
+            # per-layer [k|v] lane blocks (8B, 2*L*d), staged into a 3D
+            # scratch (static lane slices here; the layer loop below then
+            # indexes the MAJOR dim dynamically — Mosaic rejects dynamic
+            # LANE offsets but not dynamic major-dim loads)
             ckv_all = (
                 jnp.dot(x0, cWkv[:], preferred_element_type=f32) + cbkv[:]
             )
-            x = x0
-            for l in range(L):
+            for sl in range(L):
+                ckv_scr[pl.ds(sl, 1), :, :] = ckv_all[
+                    :, 2 * sl * d : 2 * (sl + 1) * d
+                ].reshape(1, R8, 2 * d)
+
+            # one lax.fori_loop over layers instead of an unrolled body:
+            # 8x smaller Mosaic program -> minutes less compile time (the
+            # unrolled kernel took 300-700 s to compile on v5e); weights
+            # are dynamically indexed on their (major) layer dim
+            def wl(ref, l):
+                v = ref[pl.ds(l, 1)]
+                return v.reshape(v.shape[1:])
+
+            def layer_body(l, x):
                 qkv = (
-                    jnp.dot(x, sWqkv[l], preferred_element_type=f32)
-                    + sbqkv[l]
+                    jnp.dot(x, wl(sWqkv, l), preferred_element_type=f32)
+                    + wl(sbqkv, l)
                 )  # (8B, 3d)
                 ring_write(
                     l, slot,
                     jnp.concatenate(
-                        [
-                            qkv[:, d:],  # selfK|selfV
-                            ckv_all[:, 2 * l * d : 2 * (l + 1) * d],
-                        ],
-                        axis=1,
+                        [qkv[:, d:], wl(ckv_scr, l)], axis=1
                     ),
                 )
                 a = attend(qkv[:, :d], 0, l, vcount)
                 x = layer_norm(
-                    x + jnp.dot(a, sWo[l], preferred_element_type=f32)
-                    + sbo[l],
-                    ln_w[0][l],
-                    ln_w[1][l],
+                    x + jnp.dot(a, wl(sWo, l), preferred_element_type=f32)
+                    + wl(sbo, l),
+                    wl(ln_w[0], l),
+                    wl(ln_w[1], l),
                 )
-                q = jnp.dot(x, cWq[l], preferred_element_type=f32) + cbq[l]
+                q = (
+                    jnp.dot(x, wl(cWq, l), preferred_element_type=f32)
+                    + wl(cbq, l)
+                )
                 a = attend(q, 2 * d, l, vcount)
                 x = layer_norm(
-                    x + jnp.dot(a, cWo[l], preferred_element_type=f32)
-                    + cbo[l],
-                    ln_w[2][l],
-                    ln_w[3][l],
+                    x + jnp.dot(a, wl(cWo, l), preferred_element_type=f32)
+                    + wl(cbo, l),
+                    wl(ln_w[2], l),
+                    wl(ln_w[3], l),
                 )
                 h = (
-                    jnp.dot(x, ffn_w[0][l], preferred_element_type=f32)
-                    + ffn_w[1][l]
+                    jnp.dot(x, wl(ffn_w[0], l), preferred_element_type=f32)
+                    + wl(ffn_w[1], l)
                 )
                 h = jnp.maximum(h, 0.0)
-                x = layer_norm(
-                    x + jnp.dot(h, ffn_w[2][l], preferred_element_type=f32)
-                    + ffn_w[3][l],
-                    ln_w[4][l],
-                    ln_w[5][l],
+                return layer_norm(
+                    x + jnp.dot(h, wl(ffn_w[2], l), preferred_element_type=f32)
+                    + wl(ffn_w[3], l),
+                    wl(ln_w[4], l),
+                    wl(ln_w[5], l),
                 )
+
+            x = jax.lax.fori_loop(0, L, layer_body, x0)
             if with_final_ln:
                 x = layer_norm(x, final_w[0][:], final_w[1][:])
 
@@ -2004,6 +2021,9 @@ def make_transformer_kv_ring_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM)
             for _ in range(2 + n_rings)
         ],
+        # the hoisted cross-K/V products staged per layer for the
+        # dynamic-major-dim reads inside the layer fori_loop
+        scratch_shapes=[pltpu.VMEM((L, R8, 2 * d), jnp.float32)],
         # carry tok/ring in place: inputs (t0, temp, seed, prompt, pe,
         # weights..., tok, ring) -> outputs (out, tok, ring).  Aliasing
         # keeps the ring out of the scoped-VMEM stack (16 MiB on v5e),
