@@ -459,6 +459,20 @@ def bench_loop_level():
     # upload + ONE metrics read, ~35 ms tunnel RTT each) amortize the way a
     # real multi-thousand-batch epoch would; 64-step epochs overstated the
     # loop overhead by ~1.5 ms/step
+    #
+    # Loop-overhead floor (r4, drain-inclusive method — probe_loop_decomp):
+    #   1.72 ms  raw fused train step (samplernn3_train entry)
+    #   1.81 ms  one fused 16-step DISPATCH = step + on-device index
+    #            gather + metric-sum accumulation (the loop's device floor)
+    #   +0.05 ms host slack between dispatches (G=16/32/64 measured flat:
+    #            2.45/2.46/2.49 pre-fix — NOT per-dispatch-bound)
+    #   +24 ms/epoch fixed (one deferred metrics read ~ one tunnel RTT)
+    #   => 1.96 ms at 256-step epochs, 1.86 asymptotic (E=1024 measured).
+    # The r4 copy_to_host_async "optimization" cost 0.57 ms/step on this
+    # transport (every copy RPC serializes against the dispatch queue) —
+    # now opt-in via MMK_ASYNC_METRIC_COPY=1.  Earlier rounds' 1.95-2.2
+    # numbers used per-epoch host laps, which a host loop running ahead
+    # of the device understates; this entry is drain-inclusive.
     batch_size, batch_length, per_epoch = 32, 2048, 256
     train = mmk.TrainARMConfig(
         root_dir=os.path.join(tmp, "tr"),
