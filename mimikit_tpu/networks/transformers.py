@@ -551,14 +551,16 @@ class SimpleTransformer(_StatefulTransformerARM):
         )
         return w_bytes + 4 * B * n_steps < 100 * 2**20
 
-    def _use_pallas_kv(self, B: int, argmax: bool) -> bool:
+    def _use_pallas_kv(self, B: int, argmax: bool, bf16: bool = False) -> bool:
         """Gate for the FUSED KV-ring stream kernel
         (``ops/pallas_decode.make_transformer_kv_ring_pallas``).  The
-        merged (L*B*rf, 4d) f32 K/V ring is aliased in -> out (in-place
+        merged (L*B*rf, 4d) K/V ring is aliased in -> out (in-place
         state), so it sits in regular VMEM with the weights, not in the
         16 MiB scoped window — the bound is the 128 MiB VMEM total (B<=48
-        for the 8L/d256/rf64 bench net); wider KV batches fall back to
-        the pure-jax ring scan, which is latency-bound but batch-flat."""
+        for the 8L/d256/rf64 bench net in f32; bf16 halves both ring and
+        weight residency, doubling the ceiling); wider KV batches fall
+        back to the pure-jax ring scan, which is latency-bound but
+        batch-flat."""
         import os
 
         flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
@@ -576,8 +578,11 @@ class SimpleTransformer(_StatefulTransformerARM):
         if jax.default_backend() == "cpu" and (flag != "1" or not argmax):
             # interpret mode has no TPU PRNG — argmax only, forced (tests)
             return False
-        ring_bytes = 4 * 4 * c.num_layers * B * self.rf * c.model_dim
-        w_bytes = 4 * sum(
+        itemsize = 2 if bf16 else 4
+        ring_bytes = itemsize * 4 * c.num_layers * B * self.rf * c.model_dim
+        # bf16 also halves the weight operands: the f32 params stay in
+        # HBM and only the casted copies reach VMEM as kernel inputs
+        w_bytes = itemsize * sum(
             int(np.prod(l.shape))
             for l in jax.tree_util.tree_leaves(self.params)
         )
@@ -688,7 +693,13 @@ class SimpleTransformer(_StatefulTransformerARM):
         position's K/V freeze at production time and the PE is absolute,
         so tokens drift from the refeed after the first step (the FIRST
         prediction from an rf-length prompt is identical — same attention
-        set, same PE — pinned in tests)."""
+        set, same PE — pinned in tests).
+
+        ``MMK_DECODE_BF16=1`` additionally runs the FUSED KV kernel with
+        bf16 weights + ring (f32 accumulation/softmax/layer-norm): the
+        step is VMEM-bandwidth-bound, so this trades bf16 token rounding
+        (documented drift, as on the window refeed) for ~half the operand
+        traffic and twice the serveable batch ceiling."""
         prompt = jnp.asarray(prompts[0])
         self._ensure_params((prompt,))
         B, Tp = prompt.shape
@@ -716,8 +727,10 @@ class SimpleTransformer(_StatefulTransformerARM):
 
         c = self._config
         C = max(chunk_steps, 64)
-        fused = self._use_pallas_kv(B, argmax)
-        key = ("kvstream", B, Tp, C, argmax, fused)
+        bf16 = os.environ.get("MMK_DECODE_BF16") == "1"
+        fused = self._use_pallas_kv(B, argmax, bf16)
+        bf16 = bf16 and fused  # the pure-jax ring scan stays f32
+        key = ("kvstream", B, Tp, C, argmax, fused, bf16)
         if key not in self._decoders:
             t_mod = c.io_spec.targets[0].module
             q = c.io_spec.inputs[0].elem_type.size
@@ -737,6 +750,7 @@ class SimpleTransformer(_StatefulTransformerARM):
                     c.model_dim, c.n_heads, c.feedforward_dim, L,
                     self.rf, q, n_head_dense,
                     float(t_mod.min_temperature), fln, B, Tp, C, argmax,
+                    bf16=bf16,
                     interpret=jax.default_backend() == "cpu",
                 )
 

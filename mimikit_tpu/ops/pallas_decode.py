@@ -1704,6 +1704,7 @@ def make_transformer_kv_ring_pallas(
     prior_t: int,
     chunk: int,
     argmax: bool,
+    bf16: bool = False,
     interpret: bool = False,
 ):
     """Fused-kernel version of ``make_transformer_kv_ring_decoder``: the
@@ -1711,6 +1712,17 @@ def make_transformer_kv_ring_pallas(
     weights + rings resident in VMEM, ``chunk`` steps per call, state
     carried across calls (the serving pattern of the chunked SampleRNN /
     WaveNet kernels).
+
+    ``bf16=True`` stores the weights AND the merged K/V ring in bfloat16
+    while keeping every accumulation, softmax and layer-norm in f32
+    (``preferred_element_type=f32`` on each dot).  The step is
+    VMEM-bandwidth-bound — each step streams all weights plus the whole
+    ring through the MXU/VPU — so halving both operand footprints is the
+    lever (the MXU *rate* is unchanged: f32 operands already multiply in
+    one bf16 pass at TPU default precision).  It also halves the ring's
+    VMEM residency, roughly doubling the serveable batch ceiling.  Tokens
+    carry bf16 rounding and may drift from the f32 kernel (same
+    documented divergence as ``MMK_DECODE_BF16`` on the window refeed).
 
     Why this exists: the pure-jax KV scan is dispatch-latency-bound at
     ~195 µs/step regardless of batch (each step issues ~150 small HLO ops)
@@ -1742,7 +1754,7 @@ def make_transformer_kv_ring_pallas(
 
     Returns ``fn(weights, prompt_T, seed, temp, t0, state) ->
     (out_chunk_T (chunk, B) i32, new_state)`` with ``state = [tok (8, B)
-    i32, ring (L*B*rf, 4d) f32]``; weights =
+    i32, ring (L*B*rf, 4d) f32-or-bf16]``; weights =
     ``transformer_kv_weight_fuse(transformer_weight_pack(params))``.
     """
     from jax.experimental import pallas as pl
@@ -1755,6 +1767,9 @@ def make_transformer_kv_ring_pallas(
     Q = q_levels
     R8 = 8 * B
     BR = B * rf
+    # operand dtype for weights + ring; every `.astype(dt)` below is a
+    # no-op on the f32 path so the two variants share one kernel body
+    dt = jnp.bfloat16 if bf16 else jnp.float32
     inv_sqrt_dh = 1.0 / float(np.sqrt(dH))
     big_neg = float(np.finfo(np.float32).min)
     # embed + fused self (4) + fused cross (6) + ln (6) + ffn (4)
@@ -1879,7 +1894,7 @@ def make_transformer_kv_ring_pallas(
 
             tokcol = tok.reshape(B, 1).astype(f32)
             tok8 = jnp.dot(REPB, tokcol, preferred_element_type=f32)
-            oh = (tok8 == qiota).astype(f32)  # (8B, Q)
+            oh = (tok8 == qiota).astype(dt)  # (8B, Q)
             x0 = jnp.dot(oh, embed[:], preferred_element_type=f32)
             x0 = x0 + pe_ref[pl.ds(i, 1), :]
             # every layer's cross K/V project the same x0: ONE matmul,
@@ -1888,8 +1903,9 @@ def make_transformer_kv_ring_pallas(
             # indexes the MAJOR dim dynamically — Mosaic rejects dynamic
             # LANE offsets but not dynamic major-dim loads)
             ckv_all = (
-                jnp.dot(x0, cWkv[:], preferred_element_type=f32) + cbkv[:]
-            )
+                jnp.dot(x0.astype(dt), cWkv[:], preferred_element_type=f32)
+                + cbkv[:]
+            ).astype(dt)
             for sl in range(L):
                 ckv_scr[pl.ds(sl, 1), :, :] = ckv_all[
                     :, 2 * sl * d : 2 * (sl + 1) * d
@@ -1905,40 +1921,58 @@ def make_transformer_kv_ring_pallas(
 
             def layer_body(l, x):
                 qkv = (
-                    jnp.dot(x, wl(sWqkv, l), preferred_element_type=f32)
+                    jnp.dot(
+                        x.astype(dt), wl(sWqkv, l),
+                        preferred_element_type=f32,
+                    )
                     + wl(sbqkv, l)
                 )  # (8B, 3d)
                 ring_write(
                     l, slot,
                     jnp.concatenate(
-                        [qkv[:, d:], wl(ckv_scr, l)], axis=1
+                        [qkv[:, d:].astype(dt), wl(ckv_scr, l)], axis=1
                     ),
                 )
                 a = attend(qkv[:, :d], 0, l, vcount)
                 x = layer_norm(
-                    x + jnp.dot(a, wl(sWo, l), preferred_element_type=f32)
+                    x
+                    + jnp.dot(
+                        a.astype(dt), wl(sWo, l), preferred_element_type=f32
+                    )
                     + wl(sbo, l),
                     wl(ln_w[0], l),
                     wl(ln_w[1], l),
                 )
                 q = (
-                    jnp.dot(x, wl(cWq, l), preferred_element_type=f32)
+                    jnp.dot(
+                        x.astype(dt), wl(cWq, l), preferred_element_type=f32
+                    )
                     + wl(cbq, l)
                 )
                 a = attend(q, 2 * d, l, vcount)
                 x = layer_norm(
-                    x + jnp.dot(a, wl(cWo, l), preferred_element_type=f32)
+                    x
+                    + jnp.dot(
+                        a.astype(dt), wl(cWo, l), preferred_element_type=f32
+                    )
                     + wl(cbo, l),
                     wl(ln_w[2], l),
                     wl(ln_w[3], l),
                 )
                 h = (
-                    jnp.dot(x, wl(ffn_w[0], l), preferred_element_type=f32)
+                    jnp.dot(
+                        x.astype(dt), wl(ffn_w[0], l),
+                        preferred_element_type=f32,
+                    )
                     + wl(ffn_w[1], l)
                 )
                 h = jnp.maximum(h, 0.0)
                 return layer_norm(
-                    x + jnp.dot(h, wl(ffn_w[2], l), preferred_element_type=f32)
+                    x
+                    + jnp.dot(
+                        h.astype(dt), wl(ffn_w[2], l),
+                        preferred_element_type=f32,
+                    )
                     + wl(ffn_w[3], l),
                     wl(ln_w[4], l),
                     wl(ln_w[5], l),
@@ -1959,12 +1993,15 @@ def make_transformer_kv_ring_pallas(
             for kk in range(n_head_dense - 1):
                 hh = mish(
                     jnp.dot(
-                        hh, head[2 * kk][:], preferred_element_type=f32
+                        hh.astype(dt), head[2 * kk][:],
+                        preferred_element_type=f32,
                     )
                     + head[2 * kk + 1][:]
                 )
             logits = (
-                jnp.dot(hh, head[-2][:], preferred_element_type=f32)
+                jnp.dot(
+                    hh.astype(dt), head[-2][:], preferred_element_type=f32
+                )
                 + head[-1][:]
             )  # (B, Q + 1)
             l_temp = jax.nn.sigmoid(logits[:, Q : Q + 1])
@@ -1998,7 +2035,7 @@ def make_transformer_kv_ring_pallas(
 
     state_shapes = [
         jax.ShapeDtypeStruct((8, B), jnp.int32),
-        jax.ShapeDtypeStruct((L * BR, 4 * d), jnp.float32),
+        jax.ShapeDtypeStruct((L * BR, 4 * d), dt),
     ]
 
     call = pl.pallas_call(
@@ -2023,7 +2060,7 @@ def make_transformer_kv_ring_pallas(
         ],
         # the hoisted cross-K/V products staged per layer for the
         # dynamic-major-dim reads inside the layer fori_loop
-        scratch_shapes=[pltpu.VMEM((L, R8, 2 * d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((L, R8, 2 * d), dt)],
         # carry tok/ring in place: inputs (t0, temp, seed, prompt, pe,
         # weights..., tok, ring) -> outputs (out, tok, ring).  Aliasing
         # keeps the ring out of the scoped-VMEM stack (16 MiB on v5e),
@@ -2048,6 +2085,13 @@ def make_transformer_kv_ring_pallas(
         return pe.at[:, 1::2].set(jnp.cos(ang)[:, : d // 2])
 
     def fn(weights, prompt_T, seed, temp, t0, state):
+        if bf16:
+            # cast under the caller's jit (fuses with the weight re-pack);
+            # only the bf16 copies reach VMEM as kernel operands
+            weights = [
+                w.astype(jnp.bfloat16) if w.dtype == jnp.float32 else w
+                for w in weights
+            ]
         t0 = jnp.asarray(t0, jnp.int32)
         outs = call(
             t0.reshape(1),

@@ -440,3 +440,58 @@ def test_transformer_kv_fused_kernel_matches_oracle(monkeypatch, B):
     got9 = np.concatenate([next(s2) for _ in range(2)], axis=1)
     n = min(got.shape[1], got9.shape[1])
     np.testing.assert_array_equal(got9[:, :n], got[:, :n])
+
+
+def test_transformer_kv_fused_bf16_stream(monkeypatch):
+    """MMK_DECODE_BF16=1 on the fused KV stream stores weights + ring in
+    bfloat16 (f32 accumulation).  Tokens may drift from the f32 kernel
+    (documented divergence, as on the window refeed) but the path must
+    yield valid deterministic chunks, carry EXACT bf16 state across
+    kernel calls (chunk-size invariance), and cache under a distinct
+    decoder key with a bf16 ring."""
+    import jax
+
+    io = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    net = mmk.SimpleTransformer.from_config(
+        mmk.SimpleTransformer.Config(
+            io_spec=io, model_dim=128, n_heads=4, feedforward_dim=64,
+            num_layers=2, rf=16, input_dropout=0.0,
+        )
+    )
+    net.seed(0)
+    B, rf = 2, 16
+    prompt = np.random.RandomState(3).randint(
+        0, 32, (B, rf)
+    ).astype(np.int32)
+    net.init_params(batch_size=B, batch_length=rf)
+
+    monkeypatch.setenv("MMK_DECODE_KV", "1")
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "1")
+    monkeypatch.setenv("MMK_DECODE_BF16", "1")
+    rng = jax.random.PRNGKey(5)
+    s1 = net.stream((prompt,), 7, temperature=None, rng=rng)
+    # 10 x 7 = 70 > C=64 -> the second kernel call carries bf16 state
+    got = np.concatenate([next(s1) for _ in range(10)], axis=1)
+    assert got.shape == (B, 70)
+    assert got.min() >= 0 and got.max() < 32
+
+    # deterministic + chunk-size invariant (exact bf16 state carry)
+    s2 = net.stream((prompt,), 9, temperature=None, rng=rng)
+    got9 = np.concatenate([next(s2) for _ in range(8)], axis=1)
+    n = min(got.shape[1], got9.shape[1])
+    np.testing.assert_array_equal(got9[:, :n], got[:, :n])
+
+    # cached under a bf16-keyed decoder whose ring state is bfloat16
+    bf16_keys = [
+        k for k in net._decoders
+        if isinstance(k, tuple) and k[0] == "kvstream" and k[-1] is True
+    ]
+    assert bf16_keys
+    import jax.numpy as jnp
+
+    _, init_state = net._decoders[bf16_keys[0]]
+    assert init_state()[1].dtype == jnp.bfloat16
