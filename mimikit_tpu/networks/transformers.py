@@ -554,13 +554,12 @@ class SimpleTransformer(_StatefulTransformerARM):
     def _use_pallas_kv(self, B: int, argmax: bool, bf16: bool = False) -> bool:
         """Gate for the FUSED KV-ring stream kernel
         (``ops/pallas_decode.make_transformer_kv_ring_pallas``).  The
-        merged (L*B*rf, 4d) K/V ring is aliased in -> out (in-place
+        merged (L*B*rf, 4d) f32 K/V ring is aliased in -> out (in-place
         state), so it sits in regular VMEM with the weights, not in the
         16 MiB scoped window — the bound is the 128 MiB VMEM total (B<=48
-        for the 8L/d256/rf64 bench net in f32; bf16 halves both ring and
-        weight residency, doubling the ceiling); wider KV batches fall
-        back to the pure-jax ring scan, which is latency-bound but
-        batch-flat."""
+        for the 8L/d256/rf64 bench net; bf16 weights free up another ~7
+        streams of headroom); wider KV batches fall back to the pure-jax
+        ring scan, which is latency-bound but batch-flat."""
         import os
 
         flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
@@ -578,11 +577,11 @@ class SimpleTransformer(_StatefulTransformerARM):
         if jax.default_backend() == "cpu" and (flag != "1" or not argmax):
             # interpret mode has no TPU PRNG — argmax only, forced (tests)
             return False
-        itemsize = 2 if bf16 else 4
-        ring_bytes = itemsize * 4 * c.num_layers * B * self.rf * c.model_dim
-        # bf16 also halves the weight operands: the f32 params stay in
-        # HBM and only the casted copies reach VMEM as kernel inputs
-        w_bytes = itemsize * sum(
+        # the ring is always f32 (Mosaic rejects 1-row dynamic bf16
+        # stores); bf16 halves only the weight operands — the f32 params
+        # stay in HBM and the casted copies reach VMEM as kernel inputs
+        ring_bytes = 4 * 4 * c.num_layers * B * self.rf * c.model_dim
+        w_bytes = (2 if bf16 else 4) * sum(
             int(np.prod(l.shape))
             for l in jax.tree_util.tree_leaves(self.params)
         )
@@ -696,10 +695,11 @@ class SimpleTransformer(_StatefulTransformerARM):
         set, same PE — pinned in tests).
 
         ``MMK_DECODE_BF16=1`` additionally runs the FUSED KV kernel with
-        bf16 weights + ring (f32 accumulation/softmax/layer-norm): the
-        step is VMEM-bandwidth-bound, so this trades bf16 token rounding
-        (documented drift, as on the window refeed) for ~half the operand
-        traffic and twice the serveable batch ceiling."""
+        bf16 weights (f32 ring/accumulation/softmax/layer-norm): the step
+        is VMEM-bandwidth-bound and the weights are the bigger half of
+        its traffic at moderate B, so this trades bf16 token rounding
+        (documented drift, as on the window refeed) for ~half the weight
+        traffic."""
         prompt = jnp.asarray(prompts[0])
         self._ensure_params((prompt,))
         B, Tp = prompt.shape

@@ -1713,16 +1713,21 @@ def make_transformer_kv_ring_pallas(
     carried across calls (the serving pattern of the chunked SampleRNN /
     WaveNet kernels).
 
-    ``bf16=True`` stores the weights AND the merged K/V ring in bfloat16
-    while keeping every accumulation, softmax and layer-norm in f32
+    ``bf16=True`` stores the WEIGHTS in bfloat16 while keeping every
+    accumulation, softmax and layer-norm in f32
     (``preferred_element_type=f32`` on each dot).  The step is
     VMEM-bandwidth-bound — each step streams all weights plus the whole
-    ring through the MXU/VPU — so halving both operand footprints is the
-    lever (the MXU *rate* is unchanged: f32 operands already multiply in
-    one bf16 pass at TPU default precision).  It also halves the ring's
-    VMEM residency, roughly doubling the serveable batch ceiling.  Tokens
-    carry bf16 rounding and may drift from the f32 kernel (same
-    documented divergence as ``MMK_DECODE_BF16`` on the window refeed).
+    ring through the MXU/VPU — and the weights are the bigger half of
+    that traffic at moderate B, so halving their footprint is the lever
+    (the MXU *rate* is unchanged: f32 operands already multiply in one
+    bf16 pass at TPU default precision).  The K/V ring itself stays f32:
+    its per-step write is ONE row per (layer, stream) at a dynamic slot
+    offset, and Mosaic rejects single-row dynamic stores into bf16
+    arrays (bf16 packs two rows per sublane tile —
+    ``tpu.vector_store vector<1x...xbf16>`` fails to compile on v5e;
+    probed 2026-08-20).  Tokens carry bf16 rounding and may drift from
+    the f32 kernel (same documented divergence as ``MMK_DECODE_BF16`` on
+    the window refeed).
 
     Why this exists: the pure-jax KV scan is dispatch-latency-bound at
     ~195 µs/step regardless of batch (each step issues ~150 small HLO ops)
@@ -1754,7 +1759,7 @@ def make_transformer_kv_ring_pallas(
 
     Returns ``fn(weights, prompt_T, seed, temp, t0, state) ->
     (out_chunk_T (chunk, B) i32, new_state)`` with ``state = [tok (8, B)
-    i32, ring (L*B*rf, 4d) f32-or-bf16]``; weights =
+    i32, ring (L*B*rf, 4d) f32]``; weights =
     ``transformer_kv_weight_fuse(transformer_weight_pack(params))``.
     """
     from jax.experimental import pallas as pl
@@ -1905,7 +1910,7 @@ def make_transformer_kv_ring_pallas(
             ckv_all = (
                 jnp.dot(x0.astype(dt), cWkv[:], preferred_element_type=f32)
                 + cbkv[:]
-            ).astype(dt)
+            )
             for sl in range(L):
                 ckv_scr[pl.ds(sl, 1), :, :] = ckv_all[
                     :, 2 * sl * d : 2 * (sl + 1) * d
@@ -1930,7 +1935,7 @@ def make_transformer_kv_ring_pallas(
                 ring_write(
                     l, slot,
                     jnp.concatenate(
-                        [qkv[:, d:].astype(dt), wl(ckv_scr, l)], axis=1
+                        [qkv[:, d:], wl(ckv_scr, l)], axis=1
                     ),
                 )
                 a = attend(qkv[:, :d], 0, l, vcount)
@@ -2035,7 +2040,7 @@ def make_transformer_kv_ring_pallas(
 
     state_shapes = [
         jax.ShapeDtypeStruct((8, B), jnp.int32),
-        jax.ShapeDtypeStruct((L * BR, 4 * d), dt),
+        jax.ShapeDtypeStruct((L * BR, 4 * d), jnp.float32),
     ]
 
     call = pl.pallas_call(
@@ -2060,7 +2065,7 @@ def make_transformer_kv_ring_pallas(
         ],
         # the hoisted cross-K/V products staged per layer for the
         # dynamic-major-dim reads inside the layer fori_loop
-        scratch_shapes=[pltpu.VMEM((L, R8, 2 * d), dt)],
+        scratch_shapes=[pltpu.VMEM((L, R8, 2 * d), jnp.float32)],
         # carry tok/ring in place: inputs (t0, temp, seed, prompt, pe,
         # weights..., tok, ring) -> outputs (out, tok, ring).  Aliasing
         # keeps the ring out of the scoped-VMEM stack (16 MiB on v5e),

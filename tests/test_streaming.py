@@ -443,12 +443,12 @@ def test_transformer_kv_fused_kernel_matches_oracle(monkeypatch, B):
 
 
 def test_transformer_kv_fused_bf16_stream(monkeypatch):
-    """MMK_DECODE_BF16=1 on the fused KV stream stores weights + ring in
-    bfloat16 (f32 accumulation).  Tokens may drift from the f32 kernel
-    (documented divergence, as on the window refeed) but the path must
-    yield valid deterministic chunks, carry EXACT bf16 state across
-    kernel calls (chunk-size invariance), and cache under a distinct
-    decoder key with a bf16 ring."""
+    """MMK_DECODE_BF16=1 on the fused KV stream stores the weights in
+    bfloat16 (f32 ring + accumulation — Mosaic rejects 1-row dynamic
+    bf16 ring stores).  Tokens may drift from the f32 kernel (documented
+    divergence, as on the window refeed) but the path must yield valid
+    deterministic chunks, carry EXACT state across kernel calls
+    (chunk-size invariance), and cache under a distinct decoder key."""
     import jax
 
     io = mmk.IOSpec.mulaw_io(
@@ -485,7 +485,7 @@ def test_transformer_kv_fused_bf16_stream(monkeypatch):
     n = min(got.shape[1], got9.shape[1])
     np.testing.assert_array_equal(got9[:, :n], got[:, :n])
 
-    # cached under a bf16-keyed decoder whose ring state is bfloat16
+    # cached under a bf16-keyed decoder; the carried ring stays f32
     bf16_keys = [
         k for k in net._decoders
         if isinstance(k, tuple) and k[0] == "kvstream" and k[-1] is True
@@ -494,4 +494,4 @@ def test_transformer_kv_fused_bf16_stream(monkeypatch):
     import jax.numpy as jnp
 
     _, init_state = net._decoders[bf16_keys[0]]
-    assert init_state()[1].dtype == jnp.bfloat16
+    assert init_state()[1].dtype == jnp.float32
