@@ -273,6 +273,19 @@ def main():
          (("MMK_DECODE_KV", "1"),)),
         ("transformer8l_kv_stream_b16", tf, 16, 64, 5,
          (("MMK_DECODE_KV", "1"),)),
+        # b32 is the aggregate-throughput point of the fused KV sweep
+        # (~267k samples/s); per-stream drops to ~0.5x realtime
+        ("transformer8l_kv_stream_b32", tf, 32, 64, 5,
+         (("MMK_DECODE_KV", "1"),)),
+        # bf16 WEIGHTS in the fused KV kernel (MMK_DECODE_BF16): +5% at
+        # B=1 (54.4 vs 57.4 ms) and a wash from b4 up — the step is
+        # serial small-op-latency-bound, not operand-bandwidth-bound
+        # (probed 2026-08-20: b4 61.7 vs 60.8, b16 110.4 vs 106.5).  The
+        # ring cannot go bf16 at all: Mosaic rejects 1-row dynamic bf16
+        # stores (see make_transformer_kv_ring_pallas).  Kept as the
+        # best single-stream serving entry.
+        ("transformer8l_kv_stream_bf16_b1", tf, 1, 64, 5,
+         (("MMK_DECODE_KV", "1"), ("MMK_DECODE_BF16", "1"))),
     )
     for name, net, B, prior_t, n_chunks, env in stream_cases:
         for k, v in env:
