@@ -36,9 +36,15 @@ def main():
     tf.seed(0)
 
     chunk = 1600
-    cases = [c.split(":") for c in sys.argv[1:]] or [
-        ("16", "1"), ("32", "1"), ("16", "0")
-    ]
+    cases = []
+    for c in sys.argv[1:]:
+        parts = c.split(":")
+        if len(parts) != 2 or not parts[0].isdigit() or parts[1] not in ("0", "1"):
+            print(f"usage: probe_kv_bf16.py [B:bf16 ...] e.g. 16:1 32:0 "
+                  f"(got {c!r})", file=sys.stderr)
+            return 2
+        cases.append(parts)
+    cases = cases or [("16", "1"), ("32", "1"), ("16", "0")]
     os.environ["MMK_DECODE_KV"] = "1"
     os.environ["MMK_PALLAS_DECODE"] = "auto"
     for B, bf16 in cases:
@@ -60,10 +66,18 @@ def main():
             "unit": "ms",
             "x_realtime_per_stream": round(0.1 / per_chunk, 2),
             "aggregate_samples_per_sec": round(B * chunk / per_chunk, 1),
-            "pallas": not getattr(tf, "_pallas_kv_disabled", False),
+            # 'pallas' alone would also read true when the VMEM gate
+            # routed onto the pure-jax ring scan (advisor r4) — record
+            # the gate decision so a rejection is never mislabeled as a
+            # fused-kernel measurement
+            "fused_gate": bool(tf._use_pallas_kv(B, False, bf16 == "1")),
+            "pallas": (
+                bool(tf._use_pallas_kv(B, False, bf16 == "1"))
+                and not getattr(tf, "_pallas_kv_disabled", False)
+            ),
             "first_call_s": round(compile_s, 1),
         }), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

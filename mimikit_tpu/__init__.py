@@ -32,14 +32,21 @@ from .ui import *
 from .views import *
 from . import demos
 
-# opt-in persistent XLA compile cache: MMK_COMPILE_CACHE=1 (default dir) or
-# a directory path; no-op for the CPU platform (see utils.enable_compile_cache).
+# Persistent XLA compile cache — DEFAULT ON for accelerator platforms
+# (VERDICT r4 #3): Pallas decode-kernel first-compiles cost 100-700 s
+# through the device tunnel and are pure waste to re-pay per process; the
+# cache amortizes them to one per machine (~a few hundred MB under
+# ~/.cache/mimikit_tpu_xla, evictable any time).  MMK_COMPILE_CACHE=0
+# opts out; a path value selects the directory.  Still a no-op for the
+# CPU platform, where reloaded AOT artifacts can carry mismatched machine
+# features and crash (tests shard fresh CPU processes for the same
+# reason — run_tests.sh).
 # The platform test here reads config strings WITHOUT initializing a jax
 # backend — importing this package must not consume the "first jax use"
 # (scripts still need to be able to force CPU after import).
 import os as _os
 
-_cc = _os.environ.get("MMK_COMPILE_CACHE")
+_cc = _os.environ.get("MMK_COMPILE_CACHE", "1")
 if _cc and _cc != "0":
     import jax as _jax
 

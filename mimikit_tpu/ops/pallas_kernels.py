@@ -1,10 +1,19 @@
 """Pallas TPU kernels for the feature front-end.
 
-The hot preprocessing ops run fused in VMEM: mu-law companding + quantization
-(the SampleRNN/WaveNet front-end, applied to every training window) and its
-expansion.  One pass HBM -> VMEM -> HBM instead of the 5-6 elementwise HLOs
-XLA would otherwise schedule; on CPU backends the kernels run in interpreter
-mode (tests) or fall back to jnp.
+Status of the mu-law pair (VERDICT r4 #6): these are TEST ORACLES, not the
+production path.  XLA already fuses the 5-6 elementwise HLOs of the jnp
+mu-law into one kernel, and the standalone Pallas version must pad the
+input to a whole (1024, 128) tile grid — one full-size concat before and
+one slice after, i.e. ~3x the HBM traffic of the fused jnp chain — so it
+measures ~2.7x SLOWER (BENCH_preproc.json: ``preproc_mulaw_pallas_oracle``
+vs ``preproc_mulaw_jnp``).  No production caller routes through it
+(``MuLawCompress.jax_func`` is pure jnp); it is kept because the fused
+decode kernels (``ops/pallas_decode.py``) embed this exact mu-law
+arithmetic in-kernel and the interpret-mode pair pins that math on CPU
+(tests/test_ops.py).  ``categorical`` below is likewise opt-in
+(``CategoricalSampler(impl='pallas')`` for bulk out-of-scan sampling) —
+inside the decode scan the default jnp sampling fuses into the loop body
+and wins, and the fused decode kernels embed their own sampling.
 
 Reference behavior: the centered mu-law of ``functionals.py:313-373``.
 """

@@ -13,7 +13,7 @@ so no API in the repo can reproduce the dispatch-latency failure mode.
 """
 import time
 
-__all__ = ["fence", "read_rtt", "timeit", "step_flops"]
+__all__ = ["fence", "read_rtt", "timeit", "timeit_stats", "step_flops"]
 
 
 def fence(x) -> float:
@@ -48,14 +48,31 @@ def read_rtt(x, n: int = 4) -> float:
 
 
 def timeit(fn, *args, n: int = 5, min_seconds: float = 0.5) -> float:
-    """Steady-state seconds per call: queue n async calls, fence once,
-    subtract the fence's own round-trip.
+    """Steady-state seconds per call (median of 3 timed regions); see
+    :func:`timeit_stats` for the full measurement contract."""
+    return timeit_stats(fn, *args, n=n, min_seconds=min_seconds)["per_call"]
+
+
+def timeit_stats(fn, *args, n: int = 5, min_seconds: float = 0.5,
+                 repeats: int = 3) -> dict:
+    """Steady-state seconds per call with repeat discipline: queue n async
+    calls, fence once, subtract the fence's own round-trip — and repeat the
+    whole timed region ``repeats`` times, reporting the MEDIAN and the
+    spread.
 
     The fence round-trip has millisecond-scale jitter, so a batch of calls
     whose total device time is comparable to one round-trip measures noise
     (and can even clamp to the floor, reporting absurd throughput).  ``n``
-    auto-scales until the timed region dominates the fence: the reported
-    value is trustworthy for ops from ~microseconds up."""
+    auto-scales until the timed region dominates the fence.  A single timed
+    region is still one sample of a noisy transport (a contended tunnel can
+    shift a whole region by 30%+ — the round-4 artifact refresh shipped
+    exactly that error); the median of >=3 regions plus a recorded
+    ``spread_pct`` makes a contaminated region visible instead of silently
+    becoming the committed number.
+
+    Returns ``{"per_call": s, "spread_pct": 100*(max-min)/median,
+    "samples": [s, ...], "n": calls_per_region}``.
+    """
     out = fn(*args)  # compile + warm
     rtt = read_rtt(out)
 
@@ -74,12 +91,21 @@ def timeit(fn, *args, n: int = 5, min_seconds: float = 0.5) -> float:
         per_call = max(elapsed / n, 1e-7)
         n = min(max(n, int(min_seconds / per_call) + 1), 4096)
         elapsed = run(n)
-    if elapsed < 0.1 * rtt:
-        # still unresolvable against the fence round-trip even at the call
-        # cap: refuse to report a nonsense number — clamp to a tenth of the
+    samples = [elapsed] + [run(n) for _ in range(max(repeats - 1, 0))]
+    samples = [max(s, 1e-9) for s in samples]
+    med = sorted(samples)[len(samples) // 2]
+    if med < 0.1 * rtt:
+        # unresolvable against the fence round-trip even at the call cap:
+        # refuse to report a nonsense number — clamp to a tenth of the
         # round-trip, making the result an explicit upper bound on speed
-        elapsed = 0.1 * rtt
-    return max(elapsed / n, 1e-9)
+        med = 0.1 * rtt
+    spread = 100.0 * (max(samples) - min(samples)) / med if med > 0 else 0.0
+    return {
+        "per_call": max(med / n, 1e-9),
+        "spread_pct": round(spread, 1),
+        "samples": [round(s / n, 9) for s in samples],
+        "n": n,
+    }
 
 
 def step_flops(jitted, *args) -> float:

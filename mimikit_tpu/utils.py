@@ -70,9 +70,9 @@ def enable_compile_cache(cache_dir: str = "~/.cache/mimikit_tpu_xla") -> bool:
     with mismatched machine features and can crash the process, and CPU
     compiles are fast anyway.  Returns True when the cache was enabled.
 
-    Opt in per-process (call this before the first jitted computation) or
-    per-environment with ``MMK_COMPILE_CACHE=1`` (or a directory path),
-    which the package applies on import.
+    Default ON since round 5 (the package enables it on import for
+    non-CPU platforms); ``MMK_COMPILE_CACHE=0`` opts out, a directory
+    path value relocates the cache.
     """
     import jax
 
