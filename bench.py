@@ -65,16 +65,25 @@ def main():
     # against ~36 ms of device work and bury the measurement in RTT noise
     prompts = (jax.numpy.asarray(prompts[0]),)
     n_rep = 6
-    t0 = time.time()
-    outs = [
-        net.generate(
-            prompts, n_steps=n_steps, temperature=0.9,
-            rng=jax.random.PRNGKey(i),
-        )
-        for i in range(n_rep)
-    ]
-    fence(outs[-1])  # in-order stream: the last value proves all reps done
-    elapsed = max((time.time() - t0 - rtt) / n_rep, 1e-9)
+
+    def run():
+        t0 = time.time()
+        outs = [
+            net.generate(
+                prompts, n_steps=n_steps, temperature=0.9,
+                rng=jax.random.PRNGKey(i),
+            )
+            for i in range(n_rep)
+        ]
+        # in-order stream: the last value proves all reps done
+        fence(outs[-1])
+        return max((time.time() - t0 - rtt) / n_rep, 1e-9)
+
+    # median of 3 timed regions + recorded spread (VERDICT r4 #1): a
+    # contended tunnel shifts whole regions by 30%+ — the median survives
+    # one contaminated region and the spread makes it visible
+    regions = sorted(run() for _ in range(3))
+    elapsed = regions[1]
 
     total_samples = batch * n_steps
     samples_per_sec = total_samples / elapsed
@@ -84,6 +93,12 @@ def main():
         "value": round(samples_per_sec, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+        "spread_pct": round(
+            100.0 * (regions[-1] - regions[0]) / elapsed, 1
+        ),
+        # tracked since r4's unexplained 167->757 s first-compile blowup;
+        # the persistent compile cache (default-on) makes warm runs ~0
+        "compile_s": round(compile_s, 1),
     }
     print(json.dumps(result))
     print(

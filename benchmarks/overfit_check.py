@@ -531,6 +531,24 @@ def main():
                 num_layers=4, rf=128, input_dropout=0.0,
             )
         )
+    elif which == "wavenet":
+        # sample-domain WaveNet (the family whose 2.0x bf16 train speedup
+        # headlines round 4 — VERDICT r4 #5 asks for its acoustic proof,
+        # esp. under BENCH_DTYPE=bfloat16); rf=512 covers ~14 periods of
+        # the 440 Hz tone
+        io = mmk.IOSpec.mulaw_io(
+            mmk.IOSpec.MuLawIOConfig(
+                sr=sr, q_levels=256, mlp_dim=128,
+                input_module_type="embedding",
+            ),
+            extractor=cfg.extractors[0],
+        )
+        net = mmk.WaveNet.from_config(
+            mmk.WaveNet.Config(
+                io_spec=io, blocks=(9,), dims_dilated=(128,),
+                skips_dim=128, residuals_dim=128, pad_side=0,
+            )
+        )
     elif which == "jukebox":
         # hierarchical transformer tiers over mu-law samples — the last
         # zoo family without an acoustic proof.  NOTE: JukeBox frames its
@@ -564,11 +582,11 @@ def main():
     # actually runs at (measured: 98% deep-context accuracy but DC-collapse
     # generation when trained at 512)
     batch_lengths = {"transformer": 512, "jukebox": 96, "freqnet": 32,
-                     "seq2seq": 16, "tiedae": 16}
+                     "seq2seq": 16, "tiedae": 16, "wavenet": 1024}
     epochs = {"transformer": 60, "jukebox": 30, "freqnet": 10, "seq2seq": 10,
-              "tiedae": 15}
+              "tiedae": 15, "wavenet": 12}
     limits = {"freqnet": 200, "seq2seq": 200, "transformer": 400,
-              "jukebox": 400, "tiedae": 200}
+              "jukebox": 400, "tiedae": 200, "wavenet": 200}
     train = mmk.TrainARMConfig(
         root_dir=os.path.join(tmp, "trainings"),
         batch_size=16,

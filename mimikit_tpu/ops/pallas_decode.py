@@ -1777,6 +1777,21 @@ def make_transformer_kv_ring_pallas(
     Q = q_levels
     R8 = 8 * B
     BR = B * rf
+    # Wide batches use a SLOT-MAJOR ring layout (row = l*rf*B + slot*B + s
+    # instead of l*B*rf + s*rf + slot): all B streams' rows for one slot
+    # are contiguous, so the per-step ring update is ONE B-row dynamic
+    # store instead of B single-row stores (128 -> 8 stores/step at B=16,
+    # L=8), and the per-stream softmax max/sum becomes a log2(rf)
+    # elementwise tree + two tiny selector matmuls instead of 2*B
+    # slice+concat chains per attend (~512 -> ~130 small serial ops/step
+    # at B=16 — the "serial small-op-latency-bound" wall the round-4
+    # breakdown measured).  Gated on B % 8 == 0 (the B-row store stays
+    # sublane-tile-aligned) and power-of-two rf (the tree halves evenly);
+    # narrow batches keep the stream-major layout, which measured faster
+    # at B<8 (fewer rows in flight beats fewer ops).  The layout is
+    # kernel-internal: state is opaque to callers and the degrade path
+    # restarts streams from the prompt.
+    slot_major = B % 8 == 0 and rf >= 2 and (rf & (rf - 1)) == 0
     # operand dtype for weights + ring; every `.astype(dt)` below is a
     # no-op on the f32 path so the two variants share one kernel body
     dt = jnp.bfloat16 if bf16 else jnp.float32
@@ -1819,7 +1834,10 @@ def make_transformer_kv_ring_pallas(
         cq = jax.lax.broadcasted_iota(jnp.int32, (BR, R8), 1)
         # replicate each stream's q row over its rf ring rows; the 1/8
         # averages the 8 identical replicas and the score scale folds in
-        REPQ = (rq // rf == cq // 8).astype(f32) * (inv_sqrt_dh / 8.0)
+        # (ring row r belongs to stream r % B slot-major, r // rf
+        # stream-major)
+        stream_of = (rq % B) if slot_major else (rq // rf)
+        REPQ = (stream_of == cq // 8).astype(f32) * (inv_sqrt_dh / 8.0)
         rh = jax.lax.broadcasted_iota(jnp.int32, (d, nH), 0)
         ch = jax.lax.broadcasted_iota(jnp.int32, (d, nH), 1)
         SELH = (rh // dH == ch).astype(f32)  # head-block column selector
@@ -1828,14 +1846,28 @@ def make_transformer_kv_ring_pallas(
         SELHT = (rhT == chT // dH).astype(f32)
         ro = jax.lax.broadcasted_iota(jnp.int32, (R8, BR), 0)
         co = jax.lax.broadcasted_iota(jnp.int32, (R8, BR), 1)
-        OUTSEL = (ro // 8 == co // rf).astype(f32)  # segment-sum + replicate
+        # segment-sum + replicate
+        OUTSEL = (
+            (ro // 8 == co % B) if slot_major else (ro // 8 == co // rf)
+        ).astype(f32)
         rb = jax.lax.broadcasted_iota(jnp.int32, (R8, B), 0)
         cb = jax.lax.broadcasted_iota(jnp.int32, (R8, B), 1)
         REPB = (rb // 8 == cb).astype(f32)  # (B, x) rows -> (8B, x)
-        slotpos = jax.lax.rem(
-            jax.lax.broadcasted_iota(jnp.int32, (BR, nH), 0), rf
-        )
+        riota = jax.lax.broadcasted_iota(jnp.int32, (BR, nH), 0)
+        slotpos = (riota // B) if slot_major else jax.lax.rem(riota, rf)
         qiota = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1).astype(f32)
+        if slot_major:
+            # (B, 8B) single-1 row picker: row s <- replicated row 8s
+            rp = jax.lax.broadcasted_iota(jnp.int32, (B, R8), 0)
+            cp = jax.lax.broadcasted_iota(jnp.int32, (B, R8), 1)
+            PICKB = (cp == 8 * rp).astype(f32)
+            # (BR, B) broadcast-back selector and its (B, BR) transpose
+            rm = jax.lax.broadcasted_iota(jnp.int32, (BR, B), 0)
+            cm = jax.lax.broadcasted_iota(jnp.int32, (BR, B), 1)
+            MB = (rm % B == cm).astype(f32)
+            rz = jax.lax.broadcasted_iota(jnp.int32, (B, BR), 0)
+            cz = jax.lax.broadcasted_iota(jnp.int32, (B, BR), 1)
+            ZS = (cz % B == rz).astype(f32)
 
         def layer_norm(x, scale, bias):
             mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -1855,40 +1887,65 @@ def make_transformer_kv_ring_pallas(
             S = jnp.dot(Kl * Qrep, SELH, preferred_element_type=f32)
             S = jnp.where(slotpos < vcount, S, big_neg)  # (B*rf, nH)
             # per-stream-per-head max (a global max can underflow a weak
-            # stream's whole block to 0/0); broadcast back by add-zeros
-            zero_blk = jnp.zeros((rf, nH), f32)
-            Mexp = jnp.concatenate(
-                [
-                    jnp.max(
-                        S[s * rf : (s + 1) * rf, :], axis=0, keepdims=True
-                    )
-                    + zero_blk
-                    for s in range(B)
-                ],
-                axis=0,
-            )
-            E = jnp.exp(S - Mexp)
-            Zexp = jnp.concatenate(
-                [
-                    jnp.sum(
-                        E[s * rf : (s + 1) * rf, :], axis=0, keepdims=True
-                    )
-                    + zero_blk
-                    for s in range(B)
-                ],
-                axis=0,
-            )
-            P = E / Zexp
+            # stream's whole block to 0/0)
+            if slot_major:
+                # rows slot*B+s: halving the row range maxes slot k with
+                # slot k+half FOR ALL streams at once — log2(rf)
+                # elementwise ops instead of 2*B slice+concat chains,
+                # then tiny selector matmuls broadcast/segment-sum
+                X = S
+                while X.shape[0] > B:
+                    h = X.shape[0] // 2
+                    X = jnp.maximum(X[:h], X[h:])
+                Mexp = jnp.dot(MB, X, preferred_element_type=f32)
+                E = jnp.exp(S - Mexp)
+                Zb = jnp.dot(ZS, E, preferred_element_type=f32)
+                P = E / jnp.dot(MB, Zb, preferred_element_type=f32)
+            else:
+                # broadcast back by add-zeros
+                zero_blk = jnp.zeros((rf, nH), f32)
+                Mexp = jnp.concatenate(
+                    [
+                        jnp.max(
+                            S[s * rf : (s + 1) * rf, :], axis=0,
+                            keepdims=True
+                        )
+                        + zero_blk
+                        for s in range(B)
+                    ],
+                    axis=0,
+                )
+                E = jnp.exp(S - Mexp)
+                Zexp = jnp.concatenate(
+                    [
+                        jnp.sum(
+                            E[s * rf : (s + 1) * rf, :], axis=0,
+                            keepdims=True
+                        )
+                        + zero_blk
+                        for s in range(B)
+                    ],
+                    axis=0,
+                )
+                P = E / Zexp
             Pd = jnp.dot(P, SELHT, preferred_element_type=f32)  # (B*rf, d)
             return jnp.dot(OUTSEL, Vl * Pd, preferred_element_type=f32)
 
         def ring_write(l, slot, rows):
-            # rows (8B, 4d) [selfK|selfV|crossK|crossV]: store each
-            # stream's (replicated) row at its slot — ONE write per stream
-            for s in range(B):
-                ring[pl.ds(l * BR + s * rf + slot, 1), :] = rows[
-                    8 * s : 8 * s + 1, :
-                ]
+            # rows (8B, 4d) [selfK|selfV|crossK|crossV]
+            if slot_major:
+                # pick row 8s per stream (single-1 selector: exact) and
+                # store ALL B streams' rows contiguously in one
+                # sublane-aligned B-row dynamic store
+                rows_B = jnp.dot(PICKB, rows, preferred_element_type=f32)
+                ring[pl.ds(l * BR + slot * B, B), :] = rows_B
+            else:
+                # store each stream's (replicated) row at its slot —
+                # ONE write per stream
+                for s in range(B):
+                    ring[pl.ds(l * BR + s * rf + slot, 1), :] = rows[
+                        8 * s : 8 * s + 1, :
+                    ]
 
         def body(i, _):
             t = t0 + i
@@ -1992,13 +2049,15 @@ def make_transformer_kv_ring_pallas(
             if with_final_ln:
                 x = layer_norm(x, final_w[0][:], final_w[1][:])
 
-            last = (
-                x[0:1, :]
-                if B == 1
-                else jnp.concatenate(
+            if B == 1:
+                last = x[0:1, :]
+            elif slot_major:
+                # one picker matmul instead of B slice+concat ops
+                last = jnp.dot(PICKB, x, preferred_element_type=f32)
+            else:
+                last = jnp.concatenate(
                     [x[8 * s : 8 * s + 1, :] for s in range(B)], axis=0
-                )
-            )  # (B, d)
+                )  # (B, d)
             hh = last
             for kk in range(n_head_dense - 1):
                 hh = mish(

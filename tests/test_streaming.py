@@ -394,11 +394,14 @@ def test_jukebox_stream_falls_back_exactly_on_kernel_failure(monkeypatch):
     np.testing.assert_array_equal(streamed, long)
 
 
-@pytest.mark.parametrize("B", [1, 2])
+@pytest.mark.parametrize("B", [1, 2, 8])
 def test_transformer_kv_fused_kernel_matches_oracle(monkeypatch, B):
     """The fused KV-ring Pallas kernel (interpret mode on CPU) is
     token-identical to the pure-jax KV-ring scan under argmax, at two
-    chunk sizes (the carried ring state is exact across kernel calls)."""
+    chunk sizes (the carried ring state is exact across kernel calls).
+    B=8 exercises the SLOT-MAJOR ring layout (B % 8 == 0 and power-of-2
+    rf: one B-row ring store per layer + tree-reduction softmax —
+    ops/pallas_decode.py round-5 wide-batch path)."""
     import jax
 
     io = mmk.IOSpec.mulaw_io(
