@@ -1791,7 +1791,18 @@ def make_transformer_kv_ring_pallas(
     # at B<8 (fewer rows in flight beats fewer ops).  The layout is
     # kernel-internal: state is opaque to callers and the degrade path
     # restarts streams from the prompt.
-    slot_major = B % 8 == 0 and rf >= 2 and (rf & (rf - 1)) == 0
+    import os as _os
+
+    # MMK_KV_SLOT_MAJOR=0 forces stream-major (always safe); =1 forces
+    # slot-major where the structural gate allows; default "auto" = the
+    # gate below.  Probe knob for the layout A/B (benchmarks/
+    # probe_kv_slotmajor.py) — the default is chosen from hardware
+    # measurements, see the gate comment.
+    _sm_env = _os.environ.get("MMK_KV_SLOT_MAJOR", "auto")
+    slot_major = (
+        B % 8 == 0 and rf >= 2 and (rf & (rf - 1)) == 0 and _sm_env != "0"
+    )
+    _unroll_layers = _os.environ.get("MMK_KV_UNROLL", "0") == "1"
     # operand dtype for weights + ring; every `.astype(dt)` below is a
     # no-op on the f32 path so the two variants share one kernel body
     dt = jnp.bfloat16 if bf16 else jnp.float32
@@ -2045,7 +2056,19 @@ def make_transformer_kv_ring_pallas(
                     wl(ln_w[5], l),
                 )
 
-            x = jax.lax.fori_loop(0, L, layer_body, x0)
+            # MMK_KV_UNROLL=1 restores the statically-unrolled layer body
+            # (pre-31b5fa3): the fori_loop's dynamically-indexed weight
+            # loads cost ~20% of the step at wide B (b16 measured; the
+            # fori_loop change was only re-measured at b1/b4 where it is
+            # ~0/+5%) in exchange for an L-times-smaller Mosaic program
+            # (minutes less first-compile — amortized away by the
+            # default-on persistent compile cache).
+            if _unroll_layers:
+                x = x0
+                for _l in range(L):
+                    x = layer_body(_l, x)
+            else:
+                x = jax.lax.fori_loop(0, L, layer_body, x0)
             if with_final_ln:
                 x = layer_norm(x, final_w[0][:], final_w[1][:])
 
