@@ -23,11 +23,28 @@ first-class serving surface:
 """
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
 __all__ = ["stream_tokens", "stream_audio"]
+
+
+def _pipeline_on() -> bool:
+    return os.environ.get("MMK_STREAM_PIPELINE", "1") != "0"
+
+
+def _host_async(x) -> None:
+    """Enqueue ``x``'s device->host copy NOW, before anything else is
+    dispatched.  Through the TPU tunnel a value read waits for everything
+    dispatched before it (the read drains the dispatch queue), so the
+    read-behind pipeline only hides the tunnel round-trip if chunk k's
+    copy is ordered BEFORE chunk k+1's dispatch."""
+    try:
+        x.copy_to_host_async()
+    except Exception:  # CPU arrays / interpret mode: reads are free
+        pass
 
 
 def _refeed_stream(net, prompt, chunk_steps: int, temperature, rng):
@@ -64,16 +81,68 @@ def _refeed_stream(net, prompt, chunk_steps: int, temperature, rng):
     else:
         window = int(net.rf) + 1
     buf = jnp.asarray(prompt)
+    # read-behind pipeline (MMK_STREAM_PIPELINE=0 opts out): chunk k+1 is
+    # dispatched from the DEVICE window before chunk k's host read, so the
+    # tunnel round-trip and host conversion overlap k+1's device compute.
+    # Tokens are identical — the dispatch order is unchanged, only the
+    # read moves one chunk behind.  Each yielded array is real host data
+    # (arrival == completion of THAT chunk).
+    pipelined = _pipeline_on()
+    pending = None
     while True:
         rng, sub = jax.random.split(rng)
         out = net.generate(
             (buf,), n_steps=chunk_steps, temperature=temperature, rng=sub
         )[0]
-        # host numpy so chunk arrival == completion for every path (a lazy
-        # device array would make downstream latency accounting dishonest)
-        new = np.asarray(out[:, buf.shape[1] :])
-        yield new
+        new = out[:, buf.shape[1] :]
+        _host_async(new)
         buf = out[:, -window:]
+        if not pipelined:
+            yield np.asarray(new)
+            continue
+        if pending is not None:
+            yield np.asarray(pending)
+        pending = new
+
+
+def _read_behind_chunks(dev_chunks, chunk_steps: int) -> Iterator[np.ndarray]:
+    """Shared tail for the fused state-carrying streams.
+
+    ``dev_chunks`` yields ``(out_T_device, drop)`` pairs where advancing
+    the generator DISPATCHES the next device chunk (``out_T`` is a lazy
+    ``(C, B)`` device array) and ``drop`` counts prompt-echo warm-up rows
+    to discard.  This helper enqueues each chunk's host copy immediately
+    (before the next dispatch — see :func:`_host_async`), reads one chunk
+    behind the dispatch front (``MMK_STREAM_PIPELINE=0`` opts out), and
+    re-chunks the read rows into exact ``(B, chunk_steps)`` yields.
+    Tokens are identical to the unpipelined stream — only the host read
+    moves one chunk behind, so the tunnel round-trip and numpy conversion
+    overlap the NEXT chunk's device compute."""
+    pipelined = _pipeline_on()
+    buf = None
+
+    def emit(dev, drop):
+        nonlocal buf
+        new = np.asarray(dev).T
+        if drop:
+            new = new[:, drop:]
+        if buf is None:
+            buf = np.zeros((new.shape[0], 0), new.dtype)
+        if new.shape[1]:
+            buf = np.concatenate([buf, new], axis=1)
+        while buf.shape[1] >= chunk_steps:
+            out, buf = buf[:, :chunk_steps], buf[:, chunk_steps:]
+            yield out
+
+    pending = None
+    for dev, drop in dev_chunks:
+        _host_async(dev)
+        if not pipelined:
+            yield from emit(dev, drop)
+            continue
+        if pending is not None:
+            yield from emit(*pending)
+        pending = (dev, drop)
 
 
 def stream_tokens(

@@ -969,27 +969,26 @@ class SampleRNN(ARMWithHidden):
         state = init_state()
         state[0] = prompt[:, :rf].astype(jnp.int32)
         t_abs, k = rf, 0
-        buf = np.zeros((B, 0), np.int32)
-        while True:
-            out_T, state = run(
-                self.params,
-                prompt_T,
-                jnp.asarray(seed0 + k, jnp.int32),
-                temp,
-                jnp.asarray(t_abs, jnp.int32),
-                state,
-            )
-            new = np.asarray(out_T).T  # (B, C)
-            drop = max(0, prior_t - t_abs)  # forced prompt warm-up region
-            if drop:
-                new = new[:, drop:]
-            t_abs += C
-            k += 1
-            if new.shape[1]:
-                buf = np.concatenate([buf, new], axis=1)
-            while buf.shape[1] >= chunk_steps:
-                yield buf[:, :chunk_steps]
-                buf = buf[:, chunk_steps:]
+
+        def dev_chunks():
+            nonlocal state, t_abs, k
+            while True:
+                out_T, state = run(
+                    self.params,
+                    prompt_T,
+                    jnp.asarray(seed0 + k, jnp.int32),
+                    temp,
+                    jnp.asarray(t_abs, jnp.int32),
+                    state,
+                )
+                drop = max(0, prior_t - t_abs)  # forced prompt warm-up
+                t_abs += C
+                k += 1
+                yield out_T, drop
+
+        from ..loops.streaming import _read_behind_chunks
+
+        yield from _read_behind_chunks(dev_chunks(), chunk_steps)
 
     # -- step-wise parity API (reference semantics, used by tests/loops) ----
     def before_generate(self, prompts: Tuple, batch_index: int) -> None:

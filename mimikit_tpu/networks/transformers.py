@@ -810,50 +810,50 @@ class SimpleTransformer(_StatefulTransformerARM):
             prompt[:, 0].astype(jnp.int32)[None], (8, B)
         )
         t_abs, k = 1, 0
-        buf = np.zeros((B, 0), np.int32)
-        while True:
-            rng, sub = jax.random.split(rng)
-            if fused and k == 0:
-                # degrade contract: a Mosaic rejection on the fused KV
-                # kernel's first compile/run must not kill the stream —
-                # fall back to the pure-jax ring scan (same semantics)
-                try:
-                    out_T, state = run(
-                        self.params, prompt_T, sub, temp,
-                        jnp.asarray(t_abs, jnp.int32), state,
-                    )
-                    np.asarray(out_T)  # surface deferred kernel failures
-                except Exception as e:  # pragma: no cover - hw-dependent
-                    import warnings
 
-                    warnings.warn(
-                        "fused KV-ring kernel failed to compile/run "
-                        f"({type(e).__name__}: {str(e)[:500]}); "
-                        "falling back to the pure-jax KV scan",
-                        RuntimeWarning,
-                    )
-                    self._pallas_kv_disabled = True
-                    yield from self.stream(
-                        prompts, chunk_steps, temperature=temperature,
-                        rng=rng,
-                    )
-                    return
-            else:
+        def dev_chunks():
+            nonlocal state, t_abs, k, rng
+            while True:
+                rng, sub = jax.random.split(rng)
                 out_T, state = run(
                     self.params, prompt_T, sub, temp,
                     jnp.asarray(t_abs, jnp.int32), state,
                 )
-            new = np.asarray(out_T).T  # (B, C) tokens at t_abs..t_abs+C-1
-            drop = max(0, Tp - t_abs)  # prompt-echo warm-up rows
-            if drop:
-                new = new[:, drop:]
-            t_abs += C
-            k += 1
-            if new.shape[1]:
-                buf = np.concatenate([buf, new], axis=1)
-            while buf.shape[1] >= chunk_steps:
-                yield buf[:, :chunk_steps]
-                buf = buf[:, chunk_steps:]
+                drop = max(0, Tp - t_abs)  # prompt-echo warm-up rows
+                t_abs += C
+                k += 1
+                yield out_T, drop
+
+        gen = dev_chunks()
+        if fused:
+            # degrade contract: a Mosaic rejection on the fused KV
+            # kernel's first compile/run must not kill the stream — read
+            # the FIRST chunk eagerly and fall back to the pure-jax ring
+            # scan (same semantics) on failure
+            try:
+                first = next(gen)
+                np.asarray(first[0])  # surface deferred kernel failures
+            except Exception as e:  # pragma: no cover - hw-dependent
+                import warnings
+
+                warnings.warn(
+                    "fused KV-ring kernel failed to compile/run "
+                    f"({type(e).__name__}: {str(e)[:500]}); "
+                    "falling back to the pure-jax KV scan",
+                    RuntimeWarning,
+                )
+                self._pallas_kv_disabled = True
+                yield from self.stream(
+                    prompts, chunk_steps, temperature=temperature,
+                    rng=rng,
+                )
+                return
+            import itertools
+
+            gen = itertools.chain([first], gen)
+        from ..loops.streaming import _read_behind_chunks
+
+        yield from _read_behind_chunks(gen, chunk_steps)
 
 
 class TransformerTier(nn.Module):
@@ -1362,13 +1362,27 @@ class JukeBox(_StatefulTransformerARM):
             return
         # host numpy = the chunk's completion fence (win stays device)
         yield first
+        from ..loops.streaming import _host_async, _pipeline_on
+
+        # read-behind pipeline: chunk k+1 is dispatched from the DEVICE
+        # window before chunk k's host read, hiding the tunnel round-trip
+        # behind k+1's compute (MMK_STREAM_PIPELINE=0 opts out; tokens
+        # identical either way)
+        pipelined = _pipeline_on()
+        pending = None
         k = 1
         while True:
             toks, win = run(
                 self.params, win, jnp.asarray(seed0 + k, jnp.int32), temp
             )
+            _host_async(toks)
             k += 1
-            yield np.asarray(toks)
+            if not pipelined:
+                yield np.asarray(toks)
+                continue
+            if pending is not None:
+                yield np.asarray(pending)
+            pending = toks
 
     def train_batch(self, item_spec: ItemSpec):
         return tuple(

@@ -970,27 +970,26 @@ class WaveNet(ARM):
             prompt[:, 0].astype(jnp.int32)[None], (8, B)
         )
         t_abs, k = 1, 0
-        buf = np.zeros((B, 0), np.int32)
-        while True:
-            out_T, state = run(
-                self.params,
-                prompt_T,
-                jnp.asarray(seed0 + k, jnp.int32),
-                temp,
-                jnp.asarray(t_abs, jnp.int32),
-                state,
-            )
-            new = np.asarray(out_T).T  # (B, C) tokens at t_abs..t_abs+C-1
-            drop = max(0, prior_t - t_abs)  # prompt-echo warm-up rows
-            if drop:
-                new = new[:, drop:]
-            t_abs += C
-            k += 1
-            if new.shape[1]:
-                buf = np.concatenate([buf, new], axis=1)
-            while buf.shape[1] >= chunk_steps:
-                yield buf[:, :chunk_steps]
-                buf = buf[:, chunk_steps:]
+
+        def dev_chunks():
+            nonlocal state, t_abs, k
+            while True:
+                out_T, state = run(
+                    self.params,
+                    prompt_T,
+                    jnp.asarray(seed0 + k, jnp.int32),
+                    temp,
+                    jnp.asarray(t_abs, jnp.int32),
+                    state,
+                )
+                drop = max(0, prior_t - t_abs)  # prompt-echo warm-up rows
+                t_abs += C
+                k += 1
+                yield out_T, drop
+
+        from ..loops.streaming import _read_behind_chunks
+
+        yield from _read_behind_chunks(dev_chunks(), chunk_steps)
 
     # -- step-wise parity API ------------------------------------------------
     def before_generate(self, prompts: Tuple, batch_index: int) -> None:

@@ -1775,7 +1775,18 @@ def make_transformer_kv_ring_pallas(
     dH = d // nH
     L = num_layers
     Q = q_levels
-    R8 = 8 * B
+    import os as _os
+
+    # Activation row replication.  Narrow batches replicate each stream's
+    # activation row 8x so every tensor keeps >= 8 sublanes (Mosaic
+    # rejects sub-8-row broadcasts/reshapes; B=1 needs this).  At
+    # B % 8 == 0 the B stream rows are ALREADY sublane-tile-aligned, so
+    # rep drops to 1 and every per-step op shrinks 8x (b16: 128-row dots
+    # -> 16-row dots) — the round-4 breakdown's "wide-B wall" was mostly
+    # replicated-row throughput, not op-issue latency.  MMK_KV_NOREP=0
+    # forces the replicated layout (probe A/B knob).
+    rep = 1 if (B % 8 == 0 and _os.environ.get("MMK_KV_NOREP") != "0") else 8
+    R8 = rep * B
     BR = B * rf
     # Wide batches use a SLOT-MAJOR ring layout (row = l*rf*B + slot*B + s
     # instead of l*B*rf + s*rf + slot): all B streams' rows for one slot
@@ -1791,8 +1802,6 @@ def make_transformer_kv_ring_pallas(
     # at B<8 (fewer rows in flight beats fewer ops).  The layout is
     # kernel-internal: state is opaque to callers and the degrade path
     # restarts streams from the prompt.
-    import os as _os
-
     # MMK_KV_SLOT_MAJOR=0 forces stream-major (always safe); =1 forces
     # slot-major where the structural gate allows; default "auto" = the
     # gate below.  Probe knob for the layout A/B (benchmarks/
@@ -1848,7 +1857,9 @@ def make_transformer_kv_ring_pallas(
         # (ring row r belongs to stream r % B slot-major, r // rf
         # stream-major)
         stream_of = (rq % B) if slot_major else (rq // rf)
-        REPQ = (stream_of == cq // 8).astype(f32) * (inv_sqrt_dh / 8.0)
+        REPQ = (stream_of == cq // rep).astype(f32) * (
+            inv_sqrt_dh / float(rep)
+        )
         rh = jax.lax.broadcasted_iota(jnp.int32, (d, nH), 0)
         ch = jax.lax.broadcasted_iota(jnp.int32, (d, nH), 1)
         SELH = (rh // dH == ch).astype(f32)  # head-block column selector
@@ -1859,19 +1870,19 @@ def make_transformer_kv_ring_pallas(
         co = jax.lax.broadcasted_iota(jnp.int32, (R8, BR), 1)
         # segment-sum + replicate
         OUTSEL = (
-            (ro // 8 == co % B) if slot_major else (ro // 8 == co // rf)
+            (ro // rep == co % B) if slot_major else (ro // rep == co // rf)
         ).astype(f32)
         rb = jax.lax.broadcasted_iota(jnp.int32, (R8, B), 0)
         cb = jax.lax.broadcasted_iota(jnp.int32, (R8, B), 1)
-        REPB = (rb // 8 == cb).astype(f32)  # (B, x) rows -> (8B, x)
+        REPB = (rb // rep == cb).astype(f32)  # (B, x) rows -> (rep*B, x)
         riota = jax.lax.broadcasted_iota(jnp.int32, (BR, nH), 0)
         slotpos = (riota // B) if slot_major else jax.lax.rem(riota, rf)
         qiota = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1).astype(f32)
         if slot_major:
-            # (B, 8B) single-1 row picker: row s <- replicated row 8s
+            # (B, rep*B) single-1 row picker: row s <- replicated row rep*s
             rp = jax.lax.broadcasted_iota(jnp.int32, (B, R8), 0)
             cp = jax.lax.broadcasted_iota(jnp.int32, (B, R8), 1)
-            PICKB = (cp == 8 * rp).astype(f32)
+            PICKB = (cp == rep * rp).astype(f32)
             # (BR, B) broadcast-back selector and its (B, BR) transpose
             rm = jax.lax.broadcasted_iota(jnp.int32, (BR, B), 0)
             cm = jax.lax.broadcasted_iota(jnp.int32, (BR, B), 1)
@@ -1945,17 +1956,21 @@ def make_transformer_kv_ring_pallas(
         def ring_write(l, slot, rows):
             # rows (8B, 4d) [selfK|selfV|crossK|crossV]
             if slot_major:
-                # pick row 8s per stream (single-1 selector: exact) and
-                # store ALL B streams' rows contiguously in one
-                # sublane-aligned B-row dynamic store
-                rows_B = jnp.dot(PICKB, rows, preferred_element_type=f32)
+                # pick row rep*s per stream (single-1 selector: exact —
+                # identity skip at rep=1) and store ALL B streams' rows
+                # contiguously in one sublane-aligned B-row dynamic store
+                rows_B = (
+                    rows
+                    if rep == 1
+                    else jnp.dot(PICKB, rows, preferred_element_type=f32)
+                )
                 ring[pl.ds(l * BR + slot * B, B), :] = rows_B
             else:
                 # store each stream's (replicated) row at its slot —
                 # ONE write per stream
                 for s in range(B):
                     ring[pl.ds(l * BR + s * rf + slot, 1), :] = rows[
-                        8 * s : 8 * s + 1, :
+                        rep * s : rep * s + 1, :
                     ]
 
         def body(i, _):
@@ -1971,7 +1986,11 @@ def make_transformer_kv_ring_pallas(
             tok = jnp.where(s_pos < prior_t, tokp, prev)  # (1, B) i32
 
             tokcol = tok.reshape(B, 1).astype(f32)
-            tok8 = jnp.dot(REPB, tokcol, preferred_element_type=f32)
+            tok8 = (
+                tokcol
+                if rep == 1
+                else jnp.dot(REPB, tokcol, preferred_element_type=f32)
+            )
             oh = (tok8 == qiota).astype(dt)  # (8B, Q)
             x0 = jnp.dot(oh, embed[:], preferred_element_type=f32)
             x0 = x0 + pe_ref[pl.ds(i, 1), :]
@@ -2074,12 +2093,14 @@ def make_transformer_kv_ring_pallas(
 
             if B == 1:
                 last = x[0:1, :]
+            elif rep == 1:
+                last = x  # rows ARE the streams — nothing to pick
             elif slot_major:
                 # one picker matmul instead of B slice+concat ops
                 last = jnp.dot(PICKB, x, preferred_element_type=f32)
             else:
                 last = jnp.concatenate(
-                    [x[8 * s : 8 * s + 1, :] for s in range(B)], axis=0
+                    [x[rep * s : rep * s + 1, :] for s in range(B)], axis=0
                 )  # (B, d)
             hh = last
             for kk in range(n_head_dense - 1):
