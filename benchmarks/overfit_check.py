@@ -610,6 +610,18 @@ def main():
                 if os.environ.get("BENCH_DTYPE")
                 else {}
             ),
+            # BENCH_CLIP=<norm> chains clip_by_global_norm (the reference's
+            # Lightning gradient_clip_val knob).  Needed for bf16 runs of
+            # nets that fully memorize the tone (loss -> 0.0000): the
+            # infinite-margin regime drives logits unboundedly and bf16
+            # trips a few epochs before f32 on the same trajectory
+            # (precision.py "Stability"; wavenet bf16 measured NaN at
+            # epoch 3 after loss 0.006 at epoch 2 — f32 survives all 12).
+            **(
+                {"gradient_clip_val": float(os.environ["BENCH_CLIP"])}
+                if os.environ.get("BENCH_CLIP")
+                else {}
+            ),
         },
     )
     loop = mmk.TrainARMLoop.from_config(train, db, net)

@@ -190,6 +190,16 @@ class TrainARMLoop:
             final_div_factor=cfg.final_div_factor,
         )
         tx = optax.adam(schedule, b1=cfg.betas[0], b2=cfg.betas[1])
+        clip = cfg.trainer_kwargs.get("gradient_clip_val")
+        if clip:
+            # same knob the reference exposes through its Lightning
+            # Trainer kwargs (reference mimikit/loops/train_loops.py:
+            # trainer_kwargs -> pl.Trainer(gradient_clip_val=...)).
+            # Bounds the infinite-margin memorization regime where a
+            # fully-memorized discrete target drives logits unboundedly
+            # (see mimikit_tpu/precision.py — bf16 trips there a little
+            # before f32 does, same trajectory).
+            tx = optax.chain(optax.clip_by_global_norm(float(clip)), tx)
         if accumulate > 1:
             # lightning-style micro-batching: grads average over N steps,
             # params update every Nth (stays inside the single jitted step)

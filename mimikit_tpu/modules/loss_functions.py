@@ -34,7 +34,21 @@ def cross_entropy(output, target):
     on the SampleRNN train step's (65536, 256) logits.  The iota-compare
     select fuses into the elementwise pass over the logits instead, and
     its backward is the same fused mask (softmax - one_hot).
+
+    The ``optimization_barrier`` pins ONE materialization of the logits.
+    Without it, XLA may rematerialize the producer chain separately for
+    the ``max`` and the ``exp(x - max)`` inside the fused loss — under a
+    bf16 mixed-precision forward the two copies can disagree by one bf16
+    ulp, and once logits reach |x| >= 2**15 that ulp (128+) exceeds f32's
+    exp underflow range (~88): every element of a row underflows to 0 and
+    ``logsumexp`` returns -inf from FINITE logits.  Measured on v5e
+    (wavenet bf16 tone overfit): loss -inf at max|logit| 167k while the
+    same realized logits give 8.9e-6 on the host; 84/16384 rows had
+    sum(exp(x - max)) == 0.  The barrier costs nothing (the logits are
+    materialized anyway) and restores the single-copy invariant
+    lse >= picked.
     """
+    output = jax.lax.optimization_barrier(output)
     logits = output.reshape(-1, output.shape[-1])
     labels = target.reshape(-1).astype(jnp.int32)
     lse = jax.nn.logsumexp(logits, axis=-1)

@@ -26,14 +26,21 @@ jnp dtype promotion from the cast params/inputs.
 
 Stability: on real tasks the policy converges indistinguishably from f32
 (``benchmarks/overfit_check.py`` with ``BENCH_DTYPE=bfloat16`` hits the
-same 440 Hz / loss as f32 for samplernn and freqnet).  The one regime
-where bf16 trips before f32 is *infinite-margin memorization* — training
-a fixed random-label batch without weight decay or clipping drives the
-winning logits to 1e4+ (measured: the f32 control follows the SAME
-trajectory, omax 5e4 by step 200, and merely survives longer because its
-rounding noise is smaller).  That regime is a degenerate objective, not a
-precision bug; if a user hits it, ``optax.clip_by_global_norm`` or weight
-decay bounds the margin in either dtype.
+same 440 Hz / loss as f32 for samplernn, freqnet, wavenet and the
+transformer).  Two margin-regime notes:
+
+* *Infinite-margin memorization* (a fixed fully-memorized discrete
+  target, no weight decay/clipping) drives the winning logits unboundedly
+  in EITHER dtype; clip/weight decay bounds it if a real task ever
+  resembles it.
+* Once logits pass |x| >= 2**15, one bf16 ulp exceeds f32's exp
+  underflow range — a fused loss whose ``max`` and ``exp(x - max)``
+  consume two different rematerializations of a bf16 producer can then
+  return -inf from finite logits.  ``modules/loss_functions.cross_entropy``
+  pins a single materialization with ``jax.lax.optimization_barrier``
+  (mechanism + v5e measurement in its docstring); wavenet's bf16 tone
+  overfit NaN'd through exactly this before the barrier and passes with
+  it.
 """
 from __future__ import annotations
 

@@ -100,3 +100,35 @@ def test_zip_reduce_modes():
         variables = zrv.init(jax.random.PRNGKey(0), (x, x))
         y = zrv.apply(variables, (x, x))
         assert y.shape == (2, 5, 6)
+
+
+def test_cross_entropy_finite_at_huge_logits_and_grads_flow():
+    """cross_entropy pins ONE materialization of its logits
+    (jax.lax.optimization_barrier): under a bf16 mixed-precision forward
+    XLA may rematerialize the producer separately for the max and the
+    exp(x - max), and once |logit| >= 2**15 the one-bf16-ulp disagreement
+    exceeds f32's exp underflow range — logsumexp returned -inf from
+    FINITE logits (measured on v5e, see the docstring).  This pin
+    exercises the huge-logit regime and the barrier's gradient path."""
+    import jax
+    import jax.numpy as jnp
+
+    from mimikit_tpu.modules.loss_functions import cross_entropy
+
+    rs = np.random.RandomState(0)
+    # bf16-rounded producer at |x| ~ 1.7e5 — the failing regime's scale
+    logits = (
+        rs.randn(64, 256).astype(np.float32) * 3e4
+    ).astype(jnp.bfloat16).astype(np.float32)
+    labels = rs.randint(0, 256, (64,))
+
+    @jax.jit
+    def loss(lg):
+        return cross_entropy(lg, jnp.asarray(labels))
+
+    val, grad = jax.value_and_grad(loss)(jnp.asarray(logits))
+    assert bool(jnp.isfinite(val))
+    assert bool(jnp.all(jnp.isfinite(grad)))
+    # grad == softmax - one_hot: rows sum to ~0 and are nonzero
+    assert float(jnp.abs(grad.sum(-1)).max()) < 1e-3
+    assert float(jnp.abs(grad).max()) > 0.0

@@ -321,6 +321,38 @@ def test_beta_scheduler_shapes_and_training_step():
     assert float(params["w"][0]) < 1.0  # it actually descended
 
 
+def test_gradient_clip_val_bounds_update():
+    """trainer_kwargs={"gradient_clip_val": c} chains
+    optax.clip_by_global_norm in front of Adam — the same knob the
+    reference exposes through its Lightning Trainer kwargs.  A huge
+    gradient must produce the same step a unit-norm gradient would
+    (Adam normalizes per-element AFTER the global clip)."""
+    import jax.numpy as jnp
+
+    from mimikit_tpu.loops.train_loops import TrainARMConfig, TrainARMLoop
+
+    class _DL:
+        def __len__(self):
+            return 4
+
+    cfg = TrainARMConfig(
+        root_dir="/tmp", max_epochs=1,
+        trainer_kwargs={"gradient_clip_val": 1.0},
+    )
+    tx = TrainARMLoop.get_optimizer(None, _DL(), cfg)
+    params = {"w": jnp.zeros((8,))}
+    state = tx.init(params)
+    big = {"w": jnp.full((8,), 1e6)}
+    upd, _ = tx.update(big, state, params)
+    small = {"w": jnp.full((8,), 1.0)}
+    upd2, _ = tx.update(small, tx.init(params), params)
+    # both gradients point the same way; after the global-norm clip they
+    # are proportional, and Adam's per-element normalization makes the
+    # resulting updates identical (and finite)
+    assert bool(jnp.all(jnp.isfinite(upd["w"])))
+    assert jnp.allclose(upd["w"], upd2["w"], rtol=1e-5)
+
+
 def test_flat_optimizer_bit_exact_and_state_ravel():
     """mimikit_tpu/optim.py: the raveled-single-kernel optimizer computes
     the SAME update the per-leaf one does (elementwise math over the same
