@@ -272,7 +272,30 @@ def main():
         ("wavenet10_stream_b64", wn, 64, wn.rf + 8, 20, ()),
         # round 4: KV-ring transformer serving (MMK_DECODE_KV=1) — O(1)
         # per step vs the window refeed's O(rf); streaming-transformer
-        # semantics, PARITY divergence #10
+        # semantics, PARITY divergence #10.
+        #
+        # b16 step anatomy (VERDICT r4 #2; v5e, 2026-08-21 A/B at 1600
+        # steps/chunk, p50 chunk walls, ~35 ms of each is tunnel RTT):
+        #   layer fori_loop + replicated rows + stream-major . 147.5 ms
+        #   fori_loop + NO row replication + slot-major ...... 131.6 ms
+        #   unrolled layers + replicated rows ................ 135.3 ms
+        #   bf16 weights (fori, replicated) .................. 129.2 ms
+        # Decomposition: device step time grows 14 us (b1) -> ~60 us
+        # (b16) while per-op row counts barely matter (dropping the 8x
+        # row replication moved only ~10%) — the wide-B wall is ATTEND
+        # TRAFFIC over the (B*rf, d) ring space (B*rf = 1024 rows x 2
+        # attends x 8 layers per step: score mask/exp/divide + two
+        # selector matmuls each), which scales linearly in B and no
+        # layout change removes.  The fori_loop's dynamically-indexed
+        # weight loads cost ~10% at b16 (vs ~0 at b1 — re-measured, the
+        # r4 "+5% at b4" underestimated wide batches).  What actually
+        # clears the 100 ms deadline is the r5 read-behind pipeline:
+        # cadence = kernel time only (86.4 ms mean, p95 90.7, 0
+        # underruns), because the RTT + host conversion overlap the next
+        # chunk's compute.  Same-day calibration: matmul chain 202
+        # TFLOPs (full speed), read RTT 35.05 ms; kernel-execution walls
+        # ran ~25% above the r4 baselines all session (environment-level,
+        # not code — the delta notes on the entries carry this).
         ("transformer8l_kv_stream_b1", tf, 1, 64, 20,
          (("MMK_DECODE_KV", "1"),)),
         ("transformer8l_kv_stream_b4", tf, 4, 64, 20,
@@ -283,15 +306,26 @@ def main():
         # (~267k samples/s); per-stream drops to ~0.5x realtime
         ("transformer8l_kv_stream_b32", tf, 32, 64, 20,
          (("MMK_DECODE_KV", "1"),)),
-        # bf16 WEIGHTS in the fused KV kernel (MMK_DECODE_BF16): +5% at
-        # B=1 (54.4 vs 57.4 ms) and a wash from b4 up — the step is
-        # serial small-op-latency-bound, not operand-bandwidth-bound
-        # (probed 2026-08-20: b4 61.7 vs 60.8, b16 110.4 vs 106.5).  The
-        # ring cannot go bf16 at all: Mosaic rejects 1-row dynamic bf16
-        # stores (see make_transformer_kv_ring_pallas).  Kept as the
-        # best single-stream serving entry.
+        # bf16 WEIGHTS in the fused KV kernel (MMK_DECODE_BF16).  Under
+        # the r5 read-behind pipeline the chunk cadence IS the kernel
+        # time (the tunnel RTT that made bf16 look like "a wash from b4
+        # up" in r4 is hidden), so the kernel-side bf16 saving shows
+        # directly.  The ring cannot go bf16 at all: Mosaic rejects
+        # 1-row dynamic bf16 stores (see make_transformer_kv_ring_pallas).
         ("transformer8l_kv_stream_bf16_b1", tf, 1, 64, 20,
          (("MMK_DECODE_KV", "1"), ("MMK_DECODE_BF16", "1"))),
+        ("transformer8l_kv_stream_bf16_b16", tf, 16, 64, 20,
+         (("MMK_DECODE_KV", "1"), ("MMK_DECODE_BF16", "1"))),
+    )
+    # the r5 read-behind pipeline moves every stream entry well past the
+    # 10% delta gate — one shared note explains the mechanism
+    pipeline_note = (
+        "r5 read-behind streaming pipeline: chunk k+1 is dispatched "
+        "before chunk k's host read, so the ~35 ms tunnel round-trip "
+        "and numpy conversion overlap the next chunk's device compute "
+        "(tokens identical, pinned; MMK_STREAM_PIPELINE=0 opts out). "
+        "KV wide-batch entries additionally drop the 8x activation-row "
+        "replication (B % 8 == 0 rows are already sublane-aligned)."
     )
     for name, net, B, prior_t, n_chunks, env in stream_cases:
         for k, v in env:
@@ -324,6 +358,7 @@ def main():
             "max_ms": round(float(lats_ms[-1]), 2),
             "underruns": int((lats_ms > deadline_ms).sum()),
             "n_chunks": n_chunks,
+            "note": pipeline_note,
         }
         if "_kv_" in name:
             # a degraded kernel silently rides the pure-jax ring scan —
