@@ -93,7 +93,25 @@ def timeit_stats(fn, *args, n: int = 5, min_seconds: float = 0.5,
         elapsed = run(n)
     samples = [elapsed] + [run(n) for _ in range(max(repeats - 1, 0))]
     samples = [max(s, 1e-9) for s in samples]
-    med = sorted(samples)[len(samples) // 2]
+    # transport contamination is ONE-SIDED: a tunnel stall (another
+    # client's minutes-long compile serializing the shared proxy — the
+    # 2026-08-21 session measured 2-30x inflation windows on unchanged
+    # binaries) only ever ADDS time.  When the regions disagree by more
+    # than 25%, keep sampling (up to 9 regions) and report the median of
+    # the LOWEST three — a robust estimate of the device's actual speed —
+    # while the recorded spread still exposes the contamination.
+    base = sorted(samples)
+    while (
+        len(samples) < 9
+        and (base[-1] - base[0]) / base[len(base) // 2] > 0.25
+    ):
+        samples.append(max(run(n), 1e-9))
+        base = sorted(samples)
+    med = (
+        base[len(base) // 2]
+        if len(base) <= 3
+        else sorted(base[:3])[1]
+    )
     if med < 0.1 * rtt:
         # unresolvable against the fence round-trip even at the call cap:
         # refuse to report a nonsense number — clamp to a tenth of the
