@@ -96,8 +96,13 @@ def main():
         "spread_pct": round(
             100.0 * (regions[-1] - regions[0]) / elapsed, 1
         ),
-        # tracked since r4's unexplained 167->757 s first-compile blowup;
-        # the persistent compile cache (default-on) makes warm runs ~0
+        # compile time through the SHARED tunnel varies ~100x with other
+        # clients' compiles (measured 2026-08-21: the same trivial matmul
+        # chain compiled in 5.1 s cache-hit and 446 s cold on the same
+        # day; this program 320 s mid-session) — that variance, not
+        # program growth, explains r4's 167->757 s "blowup" (VERDICT r4
+        # #3).  The persistent compile cache (default-on) makes warm
+        # runs ~0; the field keeps every run's compile cost on record.
         "compile_s": round(compile_s, 1),
     }
     print(json.dumps(result))

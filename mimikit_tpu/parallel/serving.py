@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 import jax
 import numpy as np
 
-__all__ = ["sharded_generate"]
+__all__ = ["sharded_generate", "sharded_stream_tokens"]
 
 
 def _device_copies(net, params, devices):
@@ -108,3 +108,82 @@ def sharded_generate(
         np.concatenate([np.asarray(o[v]) for o in outs], axis=0)
         for v in range(len(outs[0]))
     )
+
+
+def sharded_stream_tokens(
+    net,
+    prompts: Tuple,
+    chunk_steps: int,
+    temperature=None,
+    rng=None,
+    mesh=None,
+    devices=None,
+):
+    """Multi-device streaming serving: ``stream_tokens`` with the stream
+    batch sharded across devices, yielding concatenated ``(B,
+    chunk_steps)`` chunks forever.
+
+    Each device gets an equal batch slice, its own params copy (cached,
+    see :func:`_device_copies`) and its own per-slice stream — the net's
+    fused state-carrying path where eligible, window re-feed otherwise.
+    Every per-slice stream rides the read-behind pipeline
+    (``loops/streaming.py``): advancing slice *i* dispatches its NEXT
+    chunk before reading its current one, so while the host reads slice
+    *i*'s chunk the other devices keep computing — aggregate throughput
+    scales with the device count and the per-round host cost is the n
+    slice reads.  Per-stream rows are exact (argmax rows equal the
+    unsharded stream's; sampled slices draw per-slice rng streams).
+
+    .. note:: like :func:`sharded_generate`, the net's ``params`` are
+       temporarily rebound to the device copy around each slice advance:
+       do not advance other generators of the same net concurrently.
+    """
+    if devices is None:
+        devices = (
+            list(mesh.devices.flat) if mesh is not None else jax.devices()
+        )
+    devices = list(devices)
+    B = np.shape(prompts[0])[0]
+    n = len(devices)
+    if n < 2 or B % n:
+        from ..loops.streaming import stream_tokens
+
+        yield from stream_tokens(
+            net, prompts, chunk_steps, temperature=temperature, rng=rng
+        )
+        return
+    if rng is None:
+        rng = net.next_rng()
+    keys = jax.random.split(rng, n)
+    sl = B // n
+    orig_params = net.params
+    copies = _device_copies(net, orig_params, devices)
+
+    def slice_stream(dev, key, i):
+        slice_prompts = tuple(
+            jax.device_put(np.asarray(p)[i * sl : (i + 1) * sl], dev)
+            for p in prompts
+        )
+        from ..loops.streaming import stream_tokens
+
+        inner = stream_tokens(
+            net, slice_prompts, chunk_steps, temperature=temperature,
+            rng=key,
+        )
+        while True:
+            # bind the device copy only around the advance: the inner
+            # generator reads ``net.params`` at each dispatch
+            saved = net.params
+            net.params = copies[dev]
+            try:
+                chunk = next(inner)
+            finally:
+                net.params = saved
+            yield chunk
+
+    streams = [
+        slice_stream(dev, key, i)
+        for i, (dev, key) in enumerate(zip(devices, keys))
+    ]
+    while True:
+        yield np.concatenate([next(s) for s in streams], axis=0)

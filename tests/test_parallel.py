@@ -511,3 +511,56 @@ def test_sharded_generate_covers_the_zoo(monkeypatch):
         assert np.array_equal(np.asarray(a[0]), np.asarray(b[0])), type(net)
         # params restored after the call
         assert net.params is not None
+
+
+def test_sharded_stream_tokens_matches_single_stream(monkeypatch):
+    """parallel.sharded_stream_tokens: the stream batch sharded across
+    devices (per-device params + per-slice read-behind streams, zipped
+    per chunk) yields argmax rows identical to one unsharded stream —
+    for a state-carrying fused stream (SampleRNN, forced interpret
+    kernel) and a window-refeed stream (WaveNet)."""
+    import jax
+
+    from mimikit_tpu.parallel import sharded_stream_tokens
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual mesh")
+    devices = jax.devices()[:4]
+
+    io = mmk.IOSpec.mulaw_io(mmk.IOSpec.MuLawIOConfig(q_levels=32, mlp_dim=16))
+    io_e = mmk.IOSpec.mulaw_io(
+        mmk.IOSpec.MuLawIOConfig(
+            q_levels=32, mlp_dim=16, input_module_type="embedding"
+        )
+    )
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "1")  # interpret kernels
+    srnn = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(frame_sizes=(4, 2, 2), hidden_dim=16, io_spec=io)
+    )
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    wn = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=io_e, blocks=(3,), dims_dilated=(16,),
+            skips_dim=None, residuals_dim=None, pad_side=0,
+        )
+    )
+    for net, flag in ((srnn, "1"), (wn, "0")):
+        monkeypatch.setenv("MMK_PALLAS_DECODE", flag)
+        net.seed(0)
+        prior_t = max(net.rf + 1, 8)
+        prompts = (np.random.randint(0, 32, (8, prior_t)).astype(np.int32),)
+        net._ensure_params(prompts)
+        chunk = 8
+        sh = sharded_stream_tokens(
+            net, prompts, chunk, temperature=None,
+            rng=jax.random.PRNGKey(2), devices=devices,
+        )
+        got = np.concatenate([next(sh) for _ in range(3)], axis=1)
+        from mimikit_tpu.loops.streaming import stream_tokens
+
+        ref_it = stream_tokens(
+            net, prompts, chunk, temperature=None, rng=jax.random.PRNGKey(2)
+        )
+        ref = np.concatenate([next(ref_it) for _ in range(3)], axis=1)
+        assert np.array_equal(got, ref), type(net)
+        assert net.params is not None

@@ -498,3 +498,62 @@ def test_transformer_kv_fused_bf16_stream(monkeypatch):
 
     _, init_state = net._decoders[bf16_keys[0]]
     assert init_state()[1].dtype == jnp.float32
+
+
+def test_stream_pipeline_opt_out_identical(monkeypatch):
+    """The r5 read-behind pipeline (chunk k+1 dispatched before chunk
+    k's host read) must be a pure latency optimization: the yielded
+    chunks are identical with MMK_STREAM_PIPELINE=0, on both the fused
+    state-carrying stream and the window-refeed fallback."""
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "1")
+    net = mmk.SampleRNN.from_config(
+        mmk.SampleRNN.Config(
+            frame_sizes=(4, 2, 2), hidden_dim=16, io_spec=_mulaw_io()
+        )
+    )
+    net.seed(0)
+    B, prior_t, chunk = 2, 8, 16
+    prompt = np.random.RandomState(3).randint(
+        0, 64, (B, prior_t)
+    ).astype(np.int32)
+    net.init_params(batch_size=B, batch_length=32)
+    import jax
+
+    def take(n):
+        it = mmk.stream_tokens(
+            net, (prompt,), chunk, temperature=None,
+            rng=jax.random.PRNGKey(1),
+        )
+        return np.concatenate([next(it) for _ in range(n)], axis=1)
+
+    on = take(4)
+    monkeypatch.setenv("MMK_STREAM_PIPELINE", "0")
+    off = take(4)
+    np.testing.assert_array_equal(on, off)
+
+    # refeed fallback (WaveNet path): same contract
+    monkeypatch.setenv("MMK_PALLAS_DECODE", "0")
+    monkeypatch.delenv("MMK_STREAM_PIPELINE")
+    wn = mmk.WaveNet.from_config(
+        mmk.WaveNet.Config(
+            io_spec=_mulaw_io(emb=True), blocks=(3,), dims_dilated=(16,),
+            skips_dim=16, residuals_dim=16, pad_side=0,
+        )
+    )
+    wn.seed(0)
+    wprompt = np.random.RandomState(4).randint(
+        0, 64, (B, wn.rf + 1)
+    ).astype(np.int32)
+    wn.init_params(batch_size=B, batch_length=wn.rf + 2)
+
+    def take_wn(n):
+        it = mmk.stream_tokens(
+            wn, (wprompt,), 8, temperature=None,
+            rng=jax.random.PRNGKey(2),
+        )
+        return np.concatenate([next(it) for _ in range(n)], axis=1)
+
+    on = take_wn(3)
+    monkeypatch.setenv("MMK_STREAM_PIPELINE", "0")
+    off = take_wn(3)
+    np.testing.assert_array_equal(on, off)
