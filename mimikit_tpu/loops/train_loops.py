@@ -416,7 +416,15 @@ class TrainARMLoop:
         def _step_body(params, opt_state, hidden, inputs, targets, rng):
             def compute_loss(p):
                 outputs, new_hidden = apply_train(p, inputs, hidden, rng)
-                d = loss_fn(outputs, targets)
+                # pick the cheapest safe logits barrier for the CE (see
+                # loss_functions.cross_entropy): f32 steps need none
+                # (bit-identical remat copies), bf16 steps barrier the
+                # lossless bf16 cast — half the HBM round-trip the full
+                # barrier costs
+                with _prec.loss_barrier(
+                    "bf16" if half is not None else None
+                ):
+                    d = loss_fn(outputs, targets)
                 return d["loss"], (d, new_hidden)
 
             (loss, (d, new_hidden)), grads = jax.value_and_grad(

@@ -44,11 +44,27 @@ def cross_entropy(output, target):
     ``logsumexp`` returns -inf from FINITE logits.  Measured on v5e
     (wavenet bf16 tone overfit): loss -inf at max|logit| 167k while the
     same realized logits give 8.9e-6 on the host; 84/16384 rows had
-    sum(exp(x - max)) == 0.  The barrier costs nothing (the logits are
-    materialized anyway) and restores the single-copy invariant
-    lse >= picked.
+    sum(exp(x - max)) == 0.
+
+    The barrier is NOT free: pinning blocks the loss from fusing into
+    the producer, costing one logits round-trip through HBM (measured
+    +0.17 ms/step at the SampleRNN bench shape's 67 MB of f32 logits).
+    ``precision.loss_barrier_mode()`` picks the cheapest safe variant:
+    pure-f32 steps skip it (rematerialized f32 copies are bit-identical
+    — the train loop sets ``None`` when no bf16 policy is active), bf16
+    steps barrier a bfloat16 CAST (half the traffic; lossless exactly
+    because policy-produced logits are bf16-representable), and the
+    default outside any scope is the always-safe full-precision barrier.
     """
-    output = jax.lax.optimization_barrier(output)
+    from .. import precision as _prec
+
+    mode = _prec.loss_barrier_mode()
+    if mode == "bf16":
+        output = jax.lax.optimization_barrier(
+            output.astype(jnp.bfloat16)
+        ).astype(jnp.float32)
+    elif mode is not None:
+        output = jax.lax.optimization_barrier(output)
     logits = output.reshape(-1, output.shape[-1])
     labels = target.reshape(-1).astype(jnp.int32)
     lse = jax.nn.logsumexp(logits, axis=-1)

@@ -55,6 +55,8 @@ __all__ = [
     "compute",
     "cast_floats",
     "resolve_dtype",
+    "loss_barrier",
+    "loss_barrier_mode",
 ]
 
 _COMPUTE_DTYPE: contextvars.ContextVar = contextvars.ContextVar(
@@ -79,6 +81,36 @@ def compute(dtype):
         yield
     finally:
         _COMPUTE_DTYPE.reset(token)
+
+
+_LOSS_BARRIER: contextvars.ContextVar = contextvars.ContextVar(
+    "mmk_loss_barrier", default="f32"
+)
+
+
+def loss_barrier_mode():
+    """How ``cross_entropy`` pins its logits against XLA's dual
+    rematerialization (see its docstring): ``"f32"`` (default — barrier
+    the full-precision logits: always safe, costs one logits round-trip
+    through HBM, ~0.17 ms at the SampleRNN bench shape), ``"bf16"``
+    (barrier a bfloat16 CAST of the logits — half the traffic, lossless
+    exactly when the logits came out of a bf16 compute policy, which is
+    the only case that NEEDS a barrier), or ``None`` (no barrier — safe
+    for pure-f32 steps, whose rematerialized copies are bit-identical).
+    The train loop selects the mode from its precision policy."""
+    return _LOSS_BARRIER.get()
+
+
+@contextlib.contextmanager
+def loss_barrier(mode):
+    """Set the loss-barrier mode (trace-time) for code in the block."""
+    if mode not in (None, "f32", "bf16"):
+        raise ValueError(f"loss_barrier mode must be None/'f32'/'bf16', got {mode!r}")
+    token = _LOSS_BARRIER.set(mode)
+    try:
+        yield
+    finally:
+        _LOSS_BARRIER.reset(token)
 
 
 def resolve_dtype(name):

@@ -132,3 +132,16 @@ def test_cross_entropy_finite_at_huge_logits_and_grads_flow():
     # grad == softmax - one_hot: rows sum to ~0 and are nonzero
     assert float(jnp.abs(grad.sum(-1)).max()) < 1e-3
     assert float(jnp.abs(grad).max()) > 0.0
+
+    # the mode scopes (precision.loss_barrier): "bf16" barriers a
+    # LOSSLESS bf16 cast (these logits are bf16-representable) — value
+    # equal to the default full barrier; None skips the barrier (the
+    # pure-f32 train step's mode) and still matches on CPU
+    from mimikit_tpu import precision as prec
+
+    with prec.loss_barrier("bf16"):
+        v_bf16 = jax.jit(loss)(jnp.asarray(logits))
+    with prec.loss_barrier(None):
+        v_none = jax.jit(loss)(jnp.asarray(logits))
+    assert float(jnp.abs(v_bf16 - val)) < 1e-6 * max(1.0, abs(float(val)))
+    assert float(jnp.abs(v_none - val)) < 1e-6 * max(1.0, abs(float(val)))
