@@ -44,9 +44,16 @@ def bench(net, B, n_steps, prior_t, q, flag, reps=3, env=()):
         # that the timed region dominates the round-trip
         reps = min(int(1.0 / per_rep) + 1, 512)
         per_rep = run(reps)
-    # median-of-3 regions + spread (VERDICT r4 #1 refresh discipline)
+    # repeat discipline (VERDICT r4 #1) with one-sided robustness: tunnel
+    # stalls only ADD time, so when regions disagree >25% keep sampling
+    # (up to 7) and take the median of the LOWEST three — same estimator
+    # as mimikit_tpu.timing.timeit_stats; the spread still exposes the
+    # contamination
     dts = sorted([per_rep, run(reps), run(reps)])
-    dt, spread_pct = dts[1], round(100.0 * (dts[-1] - dts[0]) / dts[1], 1)
+    while len(dts) < 7 and (dts[-1] - dts[0]) / dts[len(dts) // 2] > 0.25:
+        dts = sorted(dts + [run(reps)])
+    dt = dts[len(dts) // 2] if len(dts) <= 3 else sorted(dts[:3])[1]
+    spread_pct = round(100.0 * (dts[-1] - dts[0]) / dt, 1)
     for k, _ in env:
         os.environ.pop(k, None)
     routing = getattr(net, "_use_pallas_decode", None)

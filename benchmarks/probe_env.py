@@ -46,7 +46,11 @@ def main():
     y = chain(x)
     fence(y)
     compile_s = time.time() - t0
-    rtt = read_rtt(y)
+    # min of several reads: a single contaminated RTT sample both hides
+    # real stalls and corrupts every derived number (an inflated RTT
+    # subtraction once produced 657 "TFLOPs" and NEGATIVE dispatch
+    # latency — above hardware peak, i.e. self-evidently junk)
+    rtt = min(read_rtt(y) for _ in range(5))
 
     ts = []
     for _ in range(5):
@@ -71,7 +75,13 @@ def main():
     fence(r)
     dispatch_ms = (time.time() - t0 - rtt) / 64 * 1e3
 
-    healthy = rtt < 0.08 and tflops > 120 and dispatch_ms < 2.0
+    # physical-consistency guard: >450 TFLOPs (above v5e peak) or a
+    # negative dispatch latency means the RTT subtraction itself was
+    # contaminated — the measurement is junk, not healthy
+    consistent = 0.0 <= dispatch_ms and tflops <= 450.0
+    healthy = (
+        consistent and rtt < 0.08 and tflops > 120 and dispatch_ms < 2.0
+    )
     print(json.dumps({
         "metric": "env_health",
         "rtt_ms": round(rtt * 1e3, 2),
